@@ -1,0 +1,303 @@
+"""STAC algorithm drivers as pure, jittable XLA programs.
+
+TPU-native rework of the reference's `stac_mjx/compute_stac.py`: where the
+reference drives per-frame jaxopt solves from a sequential Python loop
+(compute_stac.py:256-267) and re-enters jit thousands of times, here the whole
+fit / IK program is **one traced computation**:
+
+- `pose_optimization`: `lax.scan` over frames (warm-started, preserving the
+  reference's frame t <- t-1 dependency) with the per-part solve sequence
+  statically unrolled; the scan body is traced once, so compile time is flat
+  in clip length (the reference's vmap-of-Python-loop unrolls it).
+- `root_optimization`: two successive root-only solves on one frame
+  (parity with compute_stac.py:17-104).
+- `offset_optimization`: the closed-form m-phase on a PRNGKey(0)-sampled
+  frame subset (parity with compute_stac.py:107-167), functional site update.
+- `fit_offsets_program` / `ik_only_program`: the complete alternation /
+  batched IK as single programs; `ik_only` vmaps clips and shards them over a
+  device mesh (the clip axis is embarrassingly parallel).
+
+A `lockstep` pose mode solves all frames simultaneously (vmap) instead of
+sequentially — the throughput path for TPU, at the cost of the reference's
+warm-start semantics (both modes are provided; see SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stac_mjx_tpu.models.kinematics import KinParams
+from stac_mjx_tpu.ops.stac_core import StacCore, make_qs
+
+
+@dataclasses.dataclass(frozen=True)
+class StacConfigStatic:
+    """Static (trace-time) pipeline configuration.
+
+    Everything here is baked into the trace: iteration counts, masks, and the
+    root-joint classification (free=7 / slide=4 root dims, fixed=skip;
+    ref stac_mjx/stac.py:151-155, compute_stac.py:51-54).
+    """
+
+    n_iters: int
+    n_sample_frames: int
+    m_reg_coef: float
+    root_kp_idx: int  # -1 => no root optimization
+    root_dims: int  # 7 (free) or 4 (slide)
+    do_root_opt: bool
+    indiv_parts: tuple  # tuple of np.ndarray bool masks (nq,)
+    trunk_kps: Any  # np.ndarray bool (K,)
+    pose_mode: str = "sequential"  # "sequential" (parity) | "lockstep"
+
+
+# ---------------------------------------------------------------- root phase
+
+
+def root_optimization(
+    core: StacCore,
+    cfg: StacConfigStatic,
+    params: KinParams,
+    kp_frame: jnp.ndarray,
+    q0: jnp.ndarray,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+) -> jnp.ndarray:
+    """Two successive root-only solves, seeded from the root keypoint.
+
+    Parity with compute_stac.py:17-104: q[:3] is seeded from the root
+    keypoint's xyz both times; only the first `root_dims` qpos entries are
+    optimized, against trunk keypoints only.
+    """
+    root_xyz = jax.lax.dynamic_slice(
+        kp_frame, (3 * cfg.root_kp_idx,), (3,)
+    )
+    qs_to_opt = jnp.zeros_like(q0, dtype=bool).at[: cfg.root_dims].set(True)
+    kps_to_opt = jnp.repeat(jnp.asarray(cfg.trunk_kps), 3).astype(q0.dtype)
+
+    q = q0.at[:3].set(root_xyz)
+    res = core.q_opt(params, kp_frame, qs_to_opt, kps_to_opt, q, lb, ub)
+    q = make_qs(q, qs_to_opt, res.params)
+
+    q = q.at[:3].set(root_xyz)
+    res = core.q_opt(params, kp_frame, qs_to_opt, kps_to_opt, q, lb, ub)
+    q = make_qs(q, qs_to_opt, res.params)
+    return q
+
+
+# ---------------------------------------------------------------- pose phase
+
+
+def _solve_frame(core, cfg, params, q0, kp_t, lb, ub, kps_to_opt, qs_all):
+    """Full-q solve followed by the statically-unrolled per-part solves.
+
+    Parity with compute_stac.py:216-252: the full solve's result replaces the
+    whole q vector; each part solve is re-masked through make_qs. The returned
+    error is the last solve's solver residual (compute_stac.py:252).
+    """
+    res = core.q_opt(params, kp_t, qs_all, kps_to_opt, q0, lb, ub)
+    q = res.params
+    err = res.error
+    for part in cfg.indiv_parts:
+        part_mask = jnp.asarray(part)
+        res = core.q_opt(params, kp_t, part_mask, kps_to_opt, q, lb, ub)
+        q = make_qs(q, part_mask, res.params)
+        err = res.error
+    return q, err
+
+
+def pose_optimization(
+    core: StacCore,
+    cfg: StacConfigStatic,
+    params: KinParams,
+    kp_data: jnp.ndarray,
+    q_init: jnp.ndarray,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+):
+    """Pose solves over a clip.
+
+    sequential mode: lax.scan over frames, frame t warm-started from t-1
+    (the reference's data dependency, compute_stac.py:256-267).
+    lockstep mode: all frames initialized independently (root xyz seeded from
+    each frame's root keypoint when available) and solved in one vmap — the
+    TPU throughput path.
+
+    Returns (q_final_carry, qposes (F,nq), xposes, xquats, marker_sites,
+    errors (F,)).
+    """
+    kps_to_opt = jnp.ones(kp_data.shape[1], dtype=kp_data.dtype)
+    qs_all = jnp.ones_like(q_init, dtype=bool)
+
+    if cfg.pose_mode == "lockstep":
+        def init_frame(kp_t):
+            q = q_init
+            if cfg.root_kp_idx >= 0 and cfg.do_root_opt:
+                root_xyz = jax.lax.dynamic_slice(
+                    kp_t, (3 * cfg.root_kp_idx,), (3,)
+                )
+                q = q.at[:3].set(root_xyz)
+            return q
+
+        def one(kp_t):
+            q0 = init_frame(kp_t)
+            return _solve_frame(
+                core, cfg, params, q0, kp_t, lb, ub, kps_to_opt, qs_all
+            )
+
+        qposes, errors = jax.vmap(one)(kp_data)
+        q_last = qposes[-1]
+    else:
+        def step(q_carry, kp_t):
+            q, err = _solve_frame(
+                core, cfg, params, q_carry, kp_t, lb, ub, kps_to_opt, qs_all
+            )
+            return q, (q, err)
+
+        q_last, (qposes, errors) = jax.lax.scan(step, q_init, kp_data)
+
+    fk_res = jax.vmap(core.fk, in_axes=(None, 0))(params, qposes)
+    marker_sites = fk_res.site_xpos[:, core.site_idxs]
+    return q_last, qposes, fk_res.xpos, fk_res.xquat, marker_sites, errors
+
+
+# -------------------------------------------------------------- offset phase
+
+
+def offset_optimization(
+    core: StacCore,
+    cfg: StacConfigStatic,
+    params: KinParams,
+    kp_data: jnp.ndarray,
+    offsets_prev: jnp.ndarray,
+    qposes: jnp.ndarray,
+    is_regularized: jnp.ndarray,
+    axis_name: str | None = None,
+):
+    """Sample frames, closed-form m-solve, write offsets into the model.
+
+    Parity with compute_stac.py:107-167 including the fixed PRNGKey(0)
+    permutation sampling. The regularization target is the *previous*
+    iteration's offsets, exactly as the reference threads self._offsets
+    (stac_mjx/stac.py:317-328).
+    """
+    n_frames = kp_data.shape[0]
+    n_sample = min(cfg.n_sample_frames, n_frames)
+    key = jax.random.PRNGKey(0)
+    shuffled = jax.random.permutation(
+        key, jnp.arange(n_frames), independent=True
+    )
+    idx = shuffled[:n_sample]
+
+    keypoints = kp_data[idx]
+    q = qposes[idx]
+
+    res = core.m_opt(
+        params,
+        keypoints,
+        q,
+        offsets_prev,
+        is_regularized,
+        cfg.m_reg_coef,
+        axis_name=axis_name,
+    )
+    new_params = params.set_site_pos(res.params, jnp.asarray(core.site_idxs))
+    return new_params, res.params, res.error
+
+
+# ------------------------------------------------------------- full programs
+
+
+def fit_offsets_program(
+    core: StacCore,
+    cfg: StacConfigStatic,
+    params: KinParams,
+    kp_data: jnp.ndarray,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+    is_regularized: jnp.ndarray,
+):
+    """The full alternating calibration as one pure program.
+
+    Mirrors Stac.fit_offsets (stac_mjx/stac.py:253-354): optional root
+    optimization on frame 0, then N_ITERS x (pose pass, offset pass), then a
+    final pose pass. The pose warm-start carry chains across passes exactly
+    like the reference's persistent mjx_data.qpos.
+
+    Returns a dict of outputs (qposes, xposes, xquats, marker_sites, offsets,
+    per-iteration error stats).
+    """
+    q = params.qpos0
+    offsets = params.site_pos[jnp.asarray(core.site_idxs)]
+    params = params.set_site_pos(offsets, jnp.asarray(core.site_idxs))
+
+    if cfg.do_root_opt and cfg.root_kp_idx >= 0:
+        q = root_optimization(core, cfg, params, kp_data[0], q, lb, ub)
+
+    iter_errors = []
+    for _ in range(cfg.n_iters):
+        q, qposes, _, _, _, errors = pose_optimization(
+            core, cfg, params, kp_data, q, lb, ub
+        )
+        params, offsets, m_err = offset_optimization(
+            core, cfg, params, kp_data, offsets, qposes, is_regularized
+        )
+        iter_errors.append((errors, m_err))
+
+    q, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
+        core, cfg, params, kp_data, q, lb, ub
+    )
+
+    return {
+        "qpos": qposes,
+        "xpos": xposes,
+        "xquat": xquats,
+        "marker_sites": marker_sites,
+        "offsets": offsets,
+        "frame_error": errors,
+        "iter_frame_errors": (
+            jnp.stack([fe for fe, _ in iter_errors])
+            if iter_errors
+            else jnp.zeros((0, kp_data.shape[0]), kp_data.dtype)
+        ),
+        "iter_m_errors": (
+            jnp.stack([me for _, me in iter_errors])
+            if iter_errors
+            else jnp.zeros((0,), kp_data.dtype)
+        ),
+    }
+
+
+def ik_only_program(
+    core: StacCore,
+    cfg: StacConfigStatic,
+    params: KinParams,
+    batched_kp: jnp.ndarray,
+    offsets: jnp.ndarray,
+    lb: jnp.ndarray,
+    ub: jnp.ndarray,
+):
+    """Batched IK over clips with frozen offsets, as one program.
+
+    Mirrors Stac.ik_only (stac_mjx/stac.py:356-454): per-clip root
+    optimization on the clip's first frame, then the pose pass; clips map
+    over the leading axis. Because clips are independent, sharding
+    `batched_kp` over a device mesh parallelizes this with zero collectives
+    (the TPU distribution layer; SURVEY.md §2.3/§5.8).
+    """
+    params = params.set_site_pos(offsets, jnp.asarray(core.site_idxs))
+
+    def per_clip(kp_clip):
+        q = params.qpos0
+        if cfg.do_root_opt and cfg.root_kp_idx >= 0:
+            q = root_optimization(core, cfg, params, kp_clip[0], q, lb, ub)
+        _, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
+            core, cfg, params, kp_clip, q, lb, ub
+        )
+        return qposes, xposes, xquats, marker_sites, errors
+
+    return jax.vmap(per_clip)(batched_kp)

@@ -1,0 +1,325 @@
+"""Stac orchestrator: model setup, bounds/masks, fit and IK entry points.
+
+User-facing equivalent of the reference's `Stac` class (stac_mjx/stac.py:91)
+— same construction semantics (keypoint site attachment, joint-dim-aligned
+bounds with the reference's quirks, part masks by joint-name substring, trunk
+keypoint mask, root-joint classification) — but the compute underneath is the
+jitted whole-program pipeline (stac_mjx_tpu/pipeline.py) instead of per-frame
+Python loops. fit_offsets and ik_only each compile once and run as a single
+XLA program; ik_only shards clips across the device mesh.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stac_mjx_tpu import io
+from stac_mjx_tpu import pipeline
+from stac_mjx_tpu.models.builder import build_fit_model
+from stac_mjx_tpu.ops.stac_core import StacCore
+from stac_mjx_tpu.utils.batching import batch_kp_data
+
+# MuJoCo jnt_type enums (mujoco.mjtJoint): FREE=0, BALL=1, SLIDE=2, HINGE=3.
+_JNT_FREE, _JNT_BALL, _JNT_SLIDE, _JNT_HINGE = 0, 1, 2, 3
+_JOINT_DIMS = {_JNT_FREE: 7, _JNT_BALL: 4, _JNT_SLIDE: 1, _JNT_HINGE: 1}
+
+
+def _align_joint_dims(types, ranges, names):
+    """Bounds + per-qpos-dim joint names, with the reference's exact quirks.
+
+    Parity with stac_mjx/stac.py:54-88: free joints get +-inf translation and
+    [-1, 1] quaternion box (clipped, never re-normalized downstream); (0, 0)
+    ranges mean unconstrained (ball +-1, slide +-inf, hinge +-2*pi); and the
+    final lower bound is clamped to <= 0 elementwise (stac.py:88).
+    """
+    lb, ub, part_names = [], [], []
+    unconstrained = {
+        _JNT_FREE: (
+            np.concatenate([-np.inf * np.ones(3), -np.ones(4)]),
+            np.concatenate([np.inf * np.ones(3), np.ones(4)]),
+        ),
+        _JNT_BALL: (-np.ones(4), np.ones(4)),
+        _JNT_SLIDE: (-np.inf * np.ones(1), np.inf * np.ones(1)),
+        _JNT_HINGE: (-2 * np.pi * np.ones(1), 2 * np.pi * np.ones(1)),
+    }
+    for jtype, jrange, name in zip(types, ranges, names):
+        jtype = int(jtype)
+        dims = _JOINT_DIMS[jtype]
+        if jtype == _JNT_FREE:
+            l, u = unconstrained[jtype]
+            lb.append(l)
+            ub.append(u)
+        else:
+            l, u = jrange
+            if l == 0 and u == 0:
+                lo, hi = unconstrained[jtype]
+                lb.append(lo)
+                ub.append(hi)
+            else:
+                lb.append(l * np.ones(dims))
+                ub.append(u * np.ones(dims))
+        part_names += [name] * dims
+    return (
+        np.minimum(np.concatenate(lb), 0.0),
+        np.concatenate(ub),
+        part_names,
+    )
+
+
+class Stac:
+    """Skeletal registration orchestrator (fit_offsets / ik_only / render)."""
+
+    def __init__(self, xml_path: str | Path, cfg, kp_names: list):
+        self.cfg = cfg
+        self._kp_names = list(kp_names)
+        self._xml_path = Path(xml_path)
+
+        fm = build_fit_model(self._xml_path, cfg.model)
+        self._fit_model = fm
+        self._mj_model = fm.mj_model
+        self.topo = fm.topo
+        self.params = fm.params
+        self._body_site_idxs = fm.site_idxs
+        self._is_regularized = jnp.asarray(
+            fm.is_regularized, dtype=fm.params.site_pos.dtype
+        )
+        self._body_names = fm.topo.body_names
+
+        if "ROOT_OPTIMIZATION_KEYPOINT" in cfg.model:
+            self._root_kp_idx = self._kp_names.index(
+                cfg.model.ROOT_OPTIMIZATION_KEYPOINT
+            )
+        else:
+            self._root_kp_idx = -1
+
+        lb, ub, self._part_names = _align_joint_dims(
+            self.topo.jnt_type,
+            np.asarray(self._mj_model.jnt_range),
+            self.topo.jnt_names,
+        )
+        dtype = fm.params.qpos0.dtype
+        self._lb = jnp.asarray(lb, dtype=dtype)
+        self._ub = jnp.asarray(ub, dtype=dtype)
+
+        self._indiv_parts = self.part_opt_setup()
+        self._trunk_kps = np.array(
+            [n in cfg.model.TRUNK_OPTIMIZATION_KEYPOINTS for n in kp_names]
+        )
+
+        root_type = int(self.topo.jnt_type[0]) if self.topo.njnt else -1
+        self._freejoint = root_type == _JNT_FREE
+        self._slidejoint = root_type == _JNT_SLIDE
+        self._fixed = not (self._freejoint or self._slidejoint)
+
+        self.stac_core_obj = StacCore(
+            self.topo,
+            self._body_site_idxs,
+            tol=float(cfg.model.FTOL),
+            n_iter_q=int(cfg.model.N_ITER_Q),
+        )
+        self._offsets = np.asarray(
+            self.params.site_pos[jnp.asarray(self._body_site_idxs)]
+        )
+
+        pose_mode = cfg.stac.get("pose_mode", "sequential") or "sequential"
+        self._static_cfg = pipeline.StacConfigStatic(
+            n_iters=int(cfg.model.N_ITERS),
+            n_sample_frames=int(cfg.model.N_SAMPLE_FRAMES),
+            m_reg_coef=float(cfg.model.M_REG_COEF),
+            root_kp_idx=self._root_kp_idx,
+            root_dims=4 if self._slidejoint else 7,
+            do_root_opt=(self._root_kp_idx >= 0) and not self._fixed,
+            indiv_parts=tuple(self._indiv_parts),
+            trunk_kps=self._trunk_kps,
+            pose_mode=pose_mode,
+        )
+        self._fit_fn = None
+        self._ik_fn = None
+
+    # ------------------------------------------------------------- masks
+
+    def part_opt_setup(self):
+        """Per-part qpos masks by joint-name substring match.
+
+        Parity: stac_mjx/stac.py:161-183.
+        """
+        model_cfg = self.cfg.model
+        if "INDIVIDUAL_PART_OPTIMIZATION" not in model_cfg or (
+            model_cfg.get("INDIVIDUAL_PART_OPTIMIZATION") is None
+        ):
+            return []
+        parts_map = model_cfg.INDIVIDUAL_PART_OPTIMIZATION
+        masks = []
+        for parts in dict(parts_map.items()).values():
+            masks.append(
+                np.array(
+                    [
+                        any(part in name for part in parts)
+                        for name in self._part_names
+                    ]
+                )
+            )
+        return masks
+
+    def _get_error_stats(self, errors):
+        flat = np.array(errors).reshape(-1)
+        return flat, float(np.mean(flat)), float(np.std(flat))
+
+    # --------------------------------------------------------------- fit
+
+    def fit_offsets(self, kp_data) -> io.StacData:
+        """Alternating pose/offset calibration as one compiled program.
+
+        Same phase structure as the reference (stac_mjx/stac.py:253-354);
+        per-iteration error statistics are printed from the returned arrays
+        after the single program run.
+        """
+        kp_data = jnp.asarray(kp_data, dtype=self.params.qpos0.dtype)
+        if self._fit_fn is None:
+            core, cfg = self.stac_core_obj, self._static_cfg
+
+            def fit(params, kp, lb, ub, is_reg):
+                return pipeline.fit_offsets_program(
+                    core, cfg, params, kp, lb, ub, is_reg
+                )
+
+            self._fit_fn = jax.jit(fit)
+
+        if self._static_cfg.do_root_opt:
+            print(
+                f"Root optimization: optimizing first "
+                f"{self._static_cfg.root_dims} qpos dims"
+            )
+        elif self._root_kp_idx == -1:
+            print(
+                "ROOT_OPTIMIZATION_KEYPOINT not specified, skipping Root Optimization."
+            )
+        else:
+            print(
+                "ROOT_OPTIMIZATION_KEYPOINT specified but model has fixed "
+                "root, skipping Root Optimization"
+            )
+
+        out = self._fit_fn(
+            self.params, kp_data, self._lb, self._ub, self._is_regularized
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+
+        for i in range(self._static_cfg.n_iters):
+            _, mean, std = self._get_error_stats(out["iter_frame_errors"][i])
+            print(
+                f"Calibration iteration {i + 1}/{self._static_cfg.n_iters}: "
+                f"frame error mean {mean:.6g} std {std:.6g}; "
+                f"m-phase residual {out['iter_m_errors'][i]:.6g}"
+            )
+        _, mean, std = self._get_error_stats(out["frame_error"])
+        print(f"Final pose optimization: mean {mean:.6g} std {std:.6g}")
+
+        self._offsets = out["offsets"]
+        return self._package_data(
+            out["qpos"],
+            out["xpos"],
+            out["xquat"],
+            out["marker_sites"],
+            np.asarray(kp_data),
+        )
+
+    # ---------------------------------------------------------------- ik
+
+    def ik_only(self, kp_data, offsets) -> io.StacData:
+        """Batched IK with frozen offsets; clips shard over devices.
+
+        Parity surface of stac_mjx/stac.py:356-454; internally one jitted
+        program with the clip axis sharded over the mesh when more than one
+        device is available (see stac_mjx_tpu/parallel/mesh.py).
+        """
+        from stac_mjx_tpu.parallel.mesh import shard_clips
+
+        batched_kp = batch_kp_data(
+            kp_data,
+            int(self.cfg.stac.n_frames_per_clip),
+            continuous=bool(self.cfg.stac.continuous),
+        ).astype(self.params.qpos0.dtype)
+
+        if self._ik_fn is None:
+            core, cfg = self.stac_core_obj, self._static_cfg
+
+            def ik(params, batched_kp, offs, lb, ub):
+                return pipeline.ik_only_program(
+                    core, cfg, params, batched_kp, offs, lb, ub
+                )
+
+            self._ik_fn = jax.jit(ik)
+
+        if self._root_kp_idx == -1:
+            print(
+                "Missing or invalid ROOT_OPTIMIZATION_KEYPOINT, skipping "
+                "root_optimization()"
+            )
+        elif self._fixed:
+            print(
+                "ROOT_OPTIMIZATION_KEYPOINT specified but model has fixed "
+                "root, skipping root_optimization()"
+            )
+
+        batched_kp = shard_clips(batched_kp)
+        offsets = jnp.asarray(offsets, dtype=self.params.qpos0.dtype)
+        qposes, xposes, xquats, marker_sites, errors = self._ik_fn(
+            self.params, batched_kp, offsets, self._lb, self._ub
+        )
+
+        _, mean, std = self._get_error_stats(np.asarray(errors))
+        print(f"ik_only: frame error mean {mean:.6g} std {std:.6g}")
+
+        self._offsets = np.asarray(offsets)
+        return self._package_data(
+            np.asarray(qposes),
+            np.asarray(xposes),
+            np.asarray(xquats),
+            np.asarray(marker_sites),
+            np.asarray(batched_kp),
+            batched=True,
+        )
+
+    # ----------------------------------------------------------- package
+
+    def _package_data(
+        self, qposes, xposes, xquats, marker_sites, kp_data, batched=False
+    ) -> io.StacData:
+        """Package results into StacData (parity: stac_mjx/stac.py:456-503).
+
+        The batched branch reproduces the reference's exact reshapes,
+        including the order='F' flattening of xpos/xquat (stac.py:484-485) —
+        a reference quirk kept byte-for-byte for artifact compatibility
+        (downstream consumers read qpos, which flattens in C order).
+        """
+        if batched:
+            qposes = qposes.reshape(-1, qposes.shape[-1])
+            xposes = xposes.reshape(-1, *xposes.shape[2:], order="F")
+            xquats = xquats.reshape(-1, *xquats.shape[2:], order="F")
+            marker_sites = marker_sites.reshape(-1, *marker_sites.shape[2:])
+        offsets = np.array(self._offsets)
+        kp_data = kp_data.reshape(-1, kp_data.shape[-1])
+        return io.StacData(
+            qpos=qposes,
+            xpos=xposes,
+            xquat=xquats,
+            marker_sites=marker_sites,
+            offsets=offsets,
+            kp_data=kp_data,
+            names_qpos=self._part_names,
+            names_xpos=self._body_names,
+            kp_names=self._kp_names,
+        )
+
+    # ------------------------------------------------------------ render
+
+    def render(self, *args, **kwargs):
+        """Render fitted results (host-side MuJoCo renderer)."""
+        from stac_mjx_tpu.viz import render_stac
+
+        return render_stac(self, *args, **kwargs)
