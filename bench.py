@@ -1,0 +1,142 @@
+"""Benchmark: rodent IK throughput (frames/s) on the current accelerator.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Workload: the reference's rodent demo recording (1000 frames, 23 keypoints)
+solved by the whole-program lockstep IK path (all frames in parallel, full
+N_ITER_Q=400 / FTOL=1e-4 solver budget + the 5 per-part refinement solves per
+frame — the same per-frame work as the reference pipeline).
+
+vs_baseline: measured against the reference's architecture on the SAME chip —
+sequential per-frame Python dispatch of the identical jitted solver (how
+stac-mjx drives jaxopt, compute_stac.py:256-267). The reference itself cannot
+run here (it is CUDA/MJX-bound), so this is the honest apples-to-apples:
+same math, same hardware, reference-style execution vs TPU-native execution.
+Falls back to synthetic FK-generated keypoints if the reference recording is
+unavailable.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from stac_mjx_tpu.config import compose_config
+    from stac_mjx_tpu import io
+    from stac_mjx_tpu.ops.stac_core import make_qs
+    from stac_mjx_tpu.stac import Stac
+    from stac_mjx_tpu.utils.assets import resolve_asset
+    from stac_mjx_tpu.utils.xla import enable_xla_flags
+
+    enable_xla_flags()
+
+    n_frames = 1000
+    cfg = compose_config(
+        "/root/repo/configs",
+        overrides=[f"stac.n_frames_per_clip={n_frames}", "stac.pose_mode=lockstep"],
+    )
+    data_file = resolve_asset(
+        "tests/data/test_rodent_mocap_1000_frames.nwb", "/root/repo"
+    )
+    xml = resolve_asset(cfg.model.MJCF_PATH, "/root/repo")
+
+    if data_file.exists():
+        cfg.stac.data_path = str(data_file)
+        kp_data, names = io.load_data(cfg, base_path="/root/repo")
+        stac = Stac(xml, cfg, names)
+    else:
+        # Self-contained fallback: synthesize keypoints by FK of random poses.
+        names = list(cfg.model.KEYPOINT_MODEL_PAIRS.keys())
+        stac = Stac(xml, cfg, names)
+        rng = np.random.default_rng(0)
+        qs = np.tile(np.asarray(stac.params.qpos0), (n_frames, 1))
+        qs += 0.05 * rng.normal(size=qs.shape)
+        kp_data = jax.vmap(
+            lambda q: stac.stac_core_obj.fk(stac.params, q)
+            .site_xpos[stac._body_site_idxs]
+            .reshape(-1)
+        )(jnp.asarray(qs, jnp.float32))
+
+    kp_data = jnp.asarray(kp_data[:n_frames], jnp.float32)
+    offsets = np.asarray(stac._offsets)
+
+    # ---- ours: lockstep whole-program IK (warmup compiles, then timed) ----
+    warm = stac.ik_only(kp_data, offsets)
+    # Calibrate offsets with one closed-form m-phase on the warmup poses so
+    # the reported residual reflects the calibrated pipeline.
+    mres = stac.stac_core_obj.m_opt(
+        stac.params,
+        kp_data[:100],
+        jnp.asarray(warm.qpos[:100]),
+        jnp.asarray(offsets, jnp.float32),
+        stac._is_regularized,
+        float(cfg.model.M_REG_COEF),
+    )
+    offsets = np.asarray(mres.params)
+
+    t0 = time.time()
+    ik = stac.ik_only(kp_data, offsets)
+    ours_s = time.time() - t0
+    ours_fps = n_frames / ours_s
+    resid = np.linalg.norm(
+        ik.marker_sites.reshape(n_frames, -1, 3)
+        - ik.kp_data.reshape(n_frames, -1, 3),
+        axis=-1,
+    ).mean()
+
+    # ---- baseline: reference-style sequential per-frame dispatch ----------
+    core = stac.stac_core_obj
+    params, lb, ub = stac.params, stac._lb, stac._ub
+    nq, K = stac.topo.nq, len(stac._body_site_idxs)
+    q_opt = jax.jit(core.q_opt)
+    qs_all = jnp.ones(nq, bool)
+    kps_all = jnp.ones(K * 3)
+    parts = [jnp.asarray(p) for p in stac._indiv_parts]
+
+    q = params.qpos0
+    r = q_opt(params, kp_data[0], qs_all, kps_all, q, lb, ub)
+    jax.block_until_ready(r.params)
+    for p in parts:
+        r2 = q_opt(params, kp_data[0], p, kps_all, q, lb, ub)
+        jax.block_until_ready(r2.params)
+
+    n_ref = 10
+    t0 = time.time()
+    q = params.qpos0
+    for f in range(n_ref):
+        res = q_opt(params, kp_data[f], qs_all, kps_all, q, lb, ub)
+        q = res.params
+        for p in parts:
+            res = q_opt(params, kp_data[f], p, kps_all, q, lb, ub)
+            q = make_qs(q, p, res.params)
+        q.block_until_ready()
+    ref_fps = n_ref / (time.time() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rodent_ik_frames_per_s_per_chip",
+                "value": round(ours_fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(ours_fps / ref_fps, 1),
+                "detail": {
+                    "baseline_ref_style_fps": round(ref_fps, 3),
+                    "mean_marker_resid_m": float(round(resid, 6)),
+                    "n_frames": n_frames,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,10 +93,14 @@ class Config:
 
 
 class ConfigNode:
-    """Dict wrapper with attribute access, `in`, and .get()."""
+    """Dict wrapper with attribute access, `in`, and .get().
+
+    Wraps the underlying dict by reference (no copy) so nested mutation
+    (``cfg.stac.data_path = ...``) is visible through every view.
+    """
 
     def __init__(self, data: dict):
-        object.__setattr__(self, "_data", dict(data))
+        object.__setattr__(self, "_data", data)
 
     def __getattr__(self, key):
         try:

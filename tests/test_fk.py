@@ -1,0 +1,110 @@
+"""FK core golden tests against mujoco.mj_kinematics (the C oracle)."""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from stac_mjx_tpu.models.builder import extract_model
+from stac_mjx_tpu.models.kinematics import make_fk
+
+from conftest import reference_path
+
+MIXED_XML = """
+<mujoco><worldbody>
+  <body name="a" pos="0.1 0.2 0.3" quat="0.9 0.1 0.2 0.1">
+    <joint type="slide" axis="1 0 0"/>
+    <joint type="hinge" axis="0 1 0" pos="0.05 0 0" range="-1 1"/>
+    <geom type="sphere" size="0.05"/><site name="s1" pos="0.02 0.03 0.04"/>
+    <body name="b" pos="0 0 -0.2">
+      <joint type="ball" pos="0.01 0.02 0"/>
+      <geom type="sphere" size="0.04"/><site name="s2" pos="0.1 0 0"/>
+      <body name="c" pos="0.05 0 -0.1">
+        <geom type="sphere" size="0.02"/><site name="s3" pos="0 0 -0.05"/>
+      </body>
+    </body>
+  </body>
+  <body name="free" pos="1 0 0">
+    <joint type="free"/><geom type="sphere" size="0.05"/>
+    <site name="s4" pos="0 0.1 0"/>
+  </body>
+</worldbody></mujoco>
+"""
+
+
+def _golden_check(m: mujoco.MjModel, n=20, seed=0, atol=2e-5):
+    d = mujoco.MjData(m)
+    topo, params = extract_model(m)
+    fkv = jax.jit(jax.vmap(make_fk(topo), in_axes=(None, 0)))
+    rng = np.random.default_rng(seed)
+    qs = np.tile(m.qpos0, (n, 1)) + rng.normal(0, 0.5, (n, m.nq))
+    res = fkv(params, jnp.asarray(qs, dtype=jnp.float32))
+    for i in range(n):
+        d.qpos[:] = qs[i]
+        mujoco.mj_kinematics(m, d)
+        np.testing.assert_allclose(np.array(res.xpos[i]), d.xpos, atol=atol)
+        qe = np.minimum(
+            np.abs(np.array(res.xquat[i]) - d.xquat).max(axis=-1),
+            np.abs(np.array(res.xquat[i]) + d.xquat).max(axis=-1),
+        )
+        assert qe.max() < atol
+        if m.nsite:
+            np.testing.assert_allclose(
+                np.array(res.site_xpos[i]), d.site_xpos, atol=atol
+            )
+
+
+def test_fk_mixed_joint_types():
+    _golden_check(mujoco.MjModel.from_xml_string(MIXED_XML))
+
+
+def test_fk_rodent():
+    m = mujoco.MjModel.from_xml_path(reference_path("models/rodent.xml"))
+    _golden_check(m, n=10)
+
+
+def test_fk_celegans():
+    m = mujoco.MjModel.from_xml_path(
+        reference_path("models/celegans/celegans.xml")
+    )
+    _golden_check(m, n=5)
+
+
+def test_fk_degenerate_quat():
+    """All-zero free-joint quaternion hits the mju_normalize4 fallback."""
+    m = mujoco.MjModel.from_xml_string(MIXED_XML)
+    d = mujoco.MjData(m)
+    topo, params = extract_model(m)
+    fk = jax.jit(make_fk(topo))
+    q = np.array(m.qpos0)
+    q[m.jnt_qposadr[3] + 3 :][:4] = 0.0
+    r = fk(params, jnp.asarray(q, jnp.float32))
+    d.qpos[:] = q
+    mujoco.mj_kinematics(m, d)
+    np.testing.assert_allclose(np.array(r.xquat), d.xquat, atol=1e-6)
+
+
+def test_fk_gradients_finite():
+    m = mujoco.MjModel.from_xml_string(MIXED_XML)
+    topo, params = extract_model(m)
+    fk = make_fk(topo)
+
+    def loss(q):
+        return jnp.sum(fk(params, q).site_xpos ** 2)
+
+    g = jax.grad(loss)(jnp.zeros(m.nq, jnp.float32))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_fk_site_offsets_update():
+    """Functional site_pos update changes site FK output accordingly."""
+    m = mujoco.MjModel.from_xml_string(MIXED_XML)
+    topo, params = extract_model(m)
+    fk = make_fk(topo)
+    q = jnp.asarray(m.qpos0, jnp.float32)
+    base = fk(params, q).site_xpos
+    p2 = params.set_site_pos(jnp.zeros((1, 3)), jnp.array([0]))
+    moved = fk(p2, q).site_xpos
+    assert not np.allclose(np.array(base[0]), np.array(moved[0]))
+    np.testing.assert_allclose(np.array(base[1:]), np.array(moved[1:]))

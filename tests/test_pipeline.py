@@ -1,0 +1,93 @@
+"""End-to-end pipeline tests: synth smoke, small rodent fit, ik_only.
+
+Equivalent of the reference's integration + CI smoke technique
+(its ci.yml runs the full pipeline on the 1-frame synth pendulum).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stac_mjx_tpu import io
+from stac_mjx_tpu.config import compose_config
+from stac_mjx_tpu.main import run_stac
+from stac_mjx_tpu.stac import Stac
+from stac_mjx_tpu.utils.assets import resolve_asset
+
+from conftest import reference_path
+
+
+def test_synth_full_pipeline(tmp_path):
+    """The reference's CI smoke workload end-to-end through run_stac."""
+    reference_path("tests/data/test_synth_1_frames.nwb")
+    cfg = compose_config(
+        "configs",
+        overrides=[
+            "stac=synth",
+            "model=synth_data",
+            f"stac.fit_offsets_path={tmp_path}/fit.h5",
+            f"stac.ik_only_path={tmp_path}/ik.h5",
+        ],
+    )
+    kp_data, names = io.load_data(cfg, base_path="/root/repo")
+    fit_path, ik_path = run_stac(cfg, kp_data, names, base_path="/root/repo")
+    assert ik_path is None  # synth config skips ik
+    cfg2, d = io.load_stac_data(fit_path)
+    assert d.qpos.shape == (1, 7)
+    assert d.offsets.shape == (1, 3)
+    # registration should be tight on the 1-kp pendulum
+    resid = np.linalg.norm(d.marker_sites.reshape(1, 3) - d.kp_data, axis=-1)
+    assert resid.max() < 1e-3
+
+
+@pytest.fixture(scope="module")
+def rodent_small():
+    cfg = compose_config(
+        "configs",
+        overrides=[
+            "stac.n_fit_frames=3",
+            "model.N_ITERS=1",
+            "model.N_ITER_Q=30",
+            "stac.n_frames_per_clip=5",
+        ],
+    )
+    cfg.stac.data_path = reference_path(
+        "tests/data/test_rodent_mocap_1000_frames.nwb"
+    )
+    kp_data, names = io.load_data(cfg, base_path="/root/repo")
+    stac = Stac(resolve_asset(cfg.model.MJCF_PATH), cfg, names)
+    return cfg, stac, kp_data
+
+
+def test_rodent_fit_improves_error(rodent_small):
+    cfg, stac, kp_data = rodent_small
+    fit = stac.fit_offsets(jnp.asarray(kp_data[:3]))
+    assert fit.qpos.shape == (3, 74)
+    assert fit.offsets.shape == (23, 3)
+    # marker residual (m) should be small after calibration
+    resid = np.linalg.norm(
+        fit.marker_sites.reshape(3, 23, 3) - fit.kp_data.reshape(3, 23, 3),
+        axis=-1,
+    )
+    assert resid.mean() < 0.01  # < 1 cm mean
+    # offsets should have moved off their initial values
+    assert not np.allclose(fit.offsets, stac.params.site_pos[stac._body_site_idxs])
+
+
+def test_rodent_ik_only_batched(rodent_small):
+    cfg, stac, kp_data = rodent_small
+    offsets = np.asarray(stac._offsets)
+    ik = stac.ik_only(jnp.asarray(kp_data[:10]), offsets)
+    assert ik.qpos.shape == (10, 74)
+    assert ik.marker_sites.shape == (10, 23, 3)
+    assert ik.kp_data.shape == (10, 69)
+
+
+def test_fit_qpos_within_bounds(rodent_small):
+    cfg, stac, kp_data = rodent_small
+    fit = stac.fit_offsets(jnp.asarray(kp_data[:3]))
+    lb, ub = np.asarray(stac._lb), np.asarray(stac._ub)
+    q = fit.qpos
+    # box projection holds everywhere (free-joint quats within [-1,1] etc.)
+    assert np.all(q >= lb - 1e-5) and np.all(q <= ub + 1e-5)

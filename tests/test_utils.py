@@ -1,0 +1,135 @@
+"""Batching, crossfade, velocity, and bounds-alignment unit tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stac_mjx_tpu.io import StacData
+from stac_mjx_tpu.ops import quat as qm
+from stac_mjx_tpu.stac import _align_joint_dims
+from stac_mjx_tpu.utils.batching import (
+    CONTINUOUS_BATCH_OVERLAP,
+    batch_kp_data,
+    handle_edge_effects,
+)
+from stac_mjx_tpu.utils.velocity import compute_velocity_from_kinematics
+
+_FREE, _BALL, _SLIDE, _HINGE = 0, 1, 2, 3
+
+
+def test_batch_kp_data_simple():
+    kp = jnp.arange(100 * 6, dtype=jnp.float32).reshape(100, 6)
+    out = batch_kp_data(kp, 25)
+    assert out.shape == (4, 25, 6)
+    np.testing.assert_allclose(np.array(out[1, 0]), np.array(kp[25]))
+
+
+def test_batch_kp_data_truncates_remainder():
+    kp = jnp.zeros((103, 6))
+    out = batch_kp_data(kp, 25)
+    assert out.shape == (4, 25, 6)
+
+
+def test_batch_kp_data_continuous_overlap():
+    kp = jnp.arange(100 * 2, dtype=jnp.float32).reshape(100, 2)
+    out = batch_kp_data(kp, 25, continuous=True)
+    assert out.shape == (4, 25 + CONTINUOUS_BATCH_OVERLAP, 2)
+    # clip i+1 starts where clip i's non-overlap region ended
+    np.testing.assert_allclose(np.array(out[1, 0]), np.array(kp[25]))
+    # last clip wrap-pads
+    np.testing.assert_allclose(
+        np.array(out[-1, -CONTINUOUS_BATCH_OVERLAP:]),
+        np.array(kp[75 : 75 + CONTINUOUS_BATCH_OVERLAP]),
+    )
+
+
+def test_handle_edge_effects_stitch():
+    F, n = 100, 25
+    qpos = np.linspace(0, 1, F)[:, None] * np.ones((1, 3))
+    batched = np.array(batch_kp_data(jnp.asarray(qpos), n, continuous=True))
+    flat = batched.reshape(-1, 3)
+    data = StacData(
+        qpos=flat.copy(),
+        xpos=flat.copy(),
+        xquat=np.concatenate([flat, flat[:, :1]], axis=1),
+        marker_sites=flat.copy(),
+        offsets=np.zeros((1, 3)),
+        kp_data=flat.copy(),
+        names_qpos=[],
+        names_xpos=[],
+        kp_names=[],
+    )
+    out = handle_edge_effects(data, n)
+    assert out.qpos.shape == (F, 3)
+    # a linear ramp crossfaded with itself stays monotone
+    assert np.all(np.diff(out.qpos[:, 0]) >= -1e-9)
+
+
+def test_velocity_no_freejoint():
+    q = jnp.asarray(np.cumsum(np.ones((10, 4)), axis=0), jnp.float32)
+    v = compute_velocity_from_kinematics(q, dt=0.5, freejoint=False)
+    assert v.shape == (10, 4)
+    np.testing.assert_allclose(np.array(v[:-1]), 2.0 * np.ones((9, 4)))
+    np.testing.assert_allclose(np.array(v[-1]), np.zeros(4))
+
+
+def test_velocity_freejoint_rotation():
+    """Constant angular velocity about z is recovered from the quat track."""
+    F, dt, w = 20, 0.01, 3.0
+    t = np.arange(F) * dt
+    quat = np.stack(
+        [np.cos(w * t / 2), 0 * t, 0 * t, np.sin(w * t / 2)], axis=1
+    )
+    q = np.zeros((F, 9), dtype=np.float32)
+    q[:, 3:7] = quat
+    q[:, 0] = t  # unit x velocity
+    v = compute_velocity_from_kinematics(jnp.asarray(q), dt=dt, freejoint=True)
+    assert v.shape == (F, 8)
+    np.testing.assert_allclose(np.array(v[:-1, 0]), np.ones(F - 1), atol=1e-4)
+    np.testing.assert_allclose(np.array(v[:-1, 5]), w * np.ones(F - 1), atol=1e-3)
+
+
+def test_velocity_clips_joints_not_root():
+    q = np.zeros((5, 9), dtype=np.float32)
+    q[:, 3] = 1.0  # identity quat
+    q[:, 0] = np.arange(5) * 100.0  # huge root translation velocity
+    q[:, 7] = np.arange(5) * 100.0  # huge joint velocity
+    v = np.array(
+        compute_velocity_from_kinematics(jnp.asarray(q), dt=1.0, freejoint=True)
+    )
+    assert v[0, 0] == 100.0  # root translation unclipped
+    assert v[0, 6] == 20.0  # joint clipped to max_qvel
+
+
+def test_align_joint_dims_golden():
+    """Golden vectors across the four joint types (ref stac.py:54-88)."""
+    types = np.array([_FREE, _HINGE, _HINGE, _SLIDE, _BALL])
+    ranges = np.array(
+        [[0, 0], [-0.5, 1.5], [0, 0], [0, 0], [0, 0]], dtype=float
+    )
+    names = ["root", "h_lim", "h_unlim", "s_unlim", "b_unlim"]
+    lb, ub, part_names = _align_joint_dims(types, ranges, names)
+    assert len(lb) == len(ub) == len(part_names) == 7 + 1 + 1 + 1 + 4
+    # free: +-inf trans, [-1,1] quat
+    np.testing.assert_allclose(lb[:7], [-np.inf] * 3 + [-1] * 4)
+    np.testing.assert_allclose(ub[:7], [np.inf] * 3 + [1] * 4)
+    # limited hinge keeps range
+    assert lb[7] == -0.5 and ub[7] == 1.5
+    # unlimited hinge -> +-2pi
+    np.testing.assert_allclose([lb[8], ub[8]], [-2 * np.pi, 2 * np.pi])
+    # unlimited slide -> +-inf
+    assert lb[9] == -np.inf and ub[9] == np.inf
+    # ball -> +-1
+    np.testing.assert_allclose(lb[10:], -np.ones(4))
+    # part names repeat per dim
+    assert part_names[:7] == ["root"] * 7
+    assert part_names[7] == "h_lim"
+
+
+def test_align_joint_dims_lb_clamped_nonpositive():
+    """The reference clamps lb <= 0 elementwise (stac.py:88)."""
+    types = np.array([_HINGE])
+    ranges = np.array([[0.5, 1.5]], dtype=float)
+    lb, ub, _ = _align_joint_dims(types, ranges, ["h"])
+    assert lb[0] == 0.0  # 0.5 clamped to 0
+    assert ub[0] == 1.5
