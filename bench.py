@@ -40,7 +40,15 @@ def main() -> int:
     n_frames = 1000
     cfg = compose_config(
         "/root/repo/configs",
-        overrides=[f"stac.n_frames_per_clip={n_frames}", "stac.pose_mode=lockstep"],
+        overrides=[
+            f"stac.n_frames_per_clip={n_frames}",
+            "stac.pose_mode=lockstep",
+            # Throughput solver: analytic-Jacobian damped Gauss-Newton
+            # (ops/gn_ik.py) — same masked marker objective as the
+            # reference's 400-iteration projected gradient, ~30x fewer
+            # sequential rounds and a lower final residual.
+            "stac.q_solver=gn",
+        ],
     )
     data_file = resolve_asset(
         "tests/data/test_rodent_mocap_1000_frames.nwb", "/root/repo"
@@ -92,7 +100,18 @@ def main() -> int:
     ).mean()
 
     # ---- baseline: reference-style sequential per-frame dispatch ----------
-    core = stac.stac_core_obj
+    # The baseline keeps the reference's *algorithm* too: projected gradient
+    # with the full N_ITER_Q budget (how stac-mjx drives jaxopt), regardless
+    # of which solver our throughput path above uses.
+    from stac_mjx_tpu.ops.stac_core import StacCore
+
+    core = StacCore(
+        stac.topo,
+        stac._body_site_idxs,
+        tol=float(cfg.model.FTOL),
+        n_iter_q=int(cfg.model.N_ITER_Q),
+        q_solver="pg",
+    )
     params, lb, ub = stac.params, stac._lb, stac._ub
     nq, K = stac.topo.nq, len(stac._body_site_idxs)
     q_opt = jax.jit(core.q_opt)

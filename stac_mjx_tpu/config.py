@@ -81,6 +81,7 @@ class StacConfig:
     mujoco: MujocoConfig = field(default_factory=MujocoConfig)
     # TPU-native extensions (absent keys default; reference files still load):
     pose_mode: str = "sequential"  # "sequential" (parity) | "lockstep"
+    q_solver: str = "pg"  # "pg" (parity) | "gn" (Gauss-Newton throughput)
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
 
 

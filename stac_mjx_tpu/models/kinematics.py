@@ -126,6 +126,11 @@ class KinTopology:
             self.lv_jid[li, :n] = np.maximum(self.slot_jid[lvl], 0)
             self.lv_jtype[li, :n] = self.slot_type[lvl]
             self.lv_qadr[li, :n] = self.slot_qadr[lvl]
+        # Static scatter map: (level, lane, slot) -> joint id, valid slots only
+        # (used to assemble per-joint world anchors/axes from the scan output).
+        valid = (self.lv_jtype != JNT_NONE).ravel()
+        self.slot_flat_idx = np.nonzero(valid)[0].astype(np.int32)
+        self.slot_flat_jid = self.lv_jid.ravel()[self.slot_flat_idx]
 
         # qvel layout (for velocity inference parity with the reference).
         dof_per_type = {JNT_FREE: 6, JNT_BALL: 3, JNT_SLIDE: 1, JNT_HINGE: 1}
@@ -172,6 +177,8 @@ class FKResult:
     xpos: jnp.ndarray  # (nbody, 3) body frame origins
     xquat: jnp.ndarray  # (nbody, 4) body frame orientations (normalized)
     site_xpos: jnp.ndarray  # (nsite, 3) site world positions
+    xanchor: jnp.ndarray  # (njnt, 3) joint anchors in world frame
+    xaxis: jnp.ndarray  # (njnt, 3) joint axes in world frame
 
     def xmat(self) -> jnp.ndarray:
         """(nbody, 3, 3) rotation matrices (lazy; only the m-phase needs them)."""
@@ -212,6 +219,8 @@ def make_fk(topo: KinTopology):
             pos = xpos[lv["parent"]] + qm.quat_rotate(pquat, params.body_pos[b])
             quat = qm.quat_mul(pquat, params.body_quat[b])
 
+            anchors_out = []
+            axes_out = []
             for s in range(topo.max_slots):
                 jtype = lv["jtype"][:, s]
                 qadr = lv["qadr"][:, s]
@@ -270,18 +279,44 @@ def make_fk(topo: KinTopology):
                     ),
                 )
 
+                # World anchors/axes as mj_kinematics stores them: computed in
+                # the partial (pre-this-joint) frame; free joints anchor at
+                # the qpos translation with the raw local axis.
+                anchors_out.append(jnp.where(is_free, free_pos, anchor))
+                axes_out.append(jnp.where(is_free, axis, axis_w))
+
             quat = qm.quat_normalize(quat)
             # Padded lanes target body 0 and recompute the worldbody identity,
             # so their scatter writes are value-preserving no-ops.
             xpos = xpos.at[b].set(pos)
             xquat = xquat.at[b].set(quat)
-            return (xpos, xquat), None
+            ys = (
+                jnp.stack(anchors_out, axis=1),  # (P, S, 3)
+                jnp.stack(axes_out, axis=1),
+            )
+            return (xpos, xquat), ys
 
-        (xpos, xquat), _ = jax.lax.scan(step, (xpos0, xquat0), lv_xs)
+        (xpos, xquat), (anch_ys, axis_ys) = jax.lax.scan(
+            step, (xpos0, xquat0), lv_xs
+        )
+
+        xanchor = jnp.zeros((max(topo.njnt, 1), 3), dtype=qpos.dtype)
+        xaxis = jnp.zeros((max(topo.njnt, 1), 3), dtype=qpos.dtype)
+        if topo.slot_flat_idx.size:
+            flat_anch = anch_ys.reshape(-1, 3)[topo.slot_flat_idx]
+            flat_axis = axis_ys.reshape(-1, 3)[topo.slot_flat_idx]
+            xanchor = xanchor.at[topo.slot_flat_jid].set(flat_anch)
+            xaxis = xaxis.at[topo.slot_flat_jid].set(flat_axis)
 
         sb = topo.site_bodyid
         site_xpos = xpos[sb] + qm.quat_rotate(xquat[sb], params.site_pos)
-        return FKResult(xpos=xpos, xquat=xquat, site_xpos=site_xpos)
+        return FKResult(
+            xpos=xpos,
+            xquat=xquat,
+            site_xpos=site_xpos,
+            xanchor=xanchor,
+            xaxis=xaxis,
+        )
 
     return fk
 

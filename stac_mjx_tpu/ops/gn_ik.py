@@ -1,0 +1,313 @@
+"""Gauss-Newton IK with analytic geometric Jacobians — the TPU throughput solver.
+
+Why this exists: the q-phase is a tiny nonlinear least-squares per frame
+(<=K*3 residuals, <=nq unknowns). The reference solves it with up to 400
+projected-gradient iterations (each costing an FK + autodiff backward pass);
+a damped Gauss-Newton step on the *velocity manifold* converges in ~5-15
+iterations, and the Jacobian comes from ONE forward pass via the classic
+geometric construction (axis x (p - anchor)), not from 74 jacfwd tangents.
+On a latency-bound TPU workload this cuts the sequential depth ~30x.
+
+Parameterization: steps live in R^nv (MuJoCo dof space). Retraction:
+  - slide/hinge: q + delta (1:1),
+  - free translation: t + delta (world),
+  - free/ball rotation: quat <- normalize(quat) * exp(delta_local) — a local
+    (right-multiplied) rotation-vector increment.
+The world axis of a local rotation dof i is R_body @ e_i, its anchor the
+joint anchor, so dp/ddelta_i = (R e_i) x (p - anchor): all available from the
+FK outputs (xanchor/xaxis/xquat).
+
+Masking: a qpos mask maps to a dof mask; masked dof columns are zeroed, so
+the damped normal equations give an exactly-zero step there and masked
+coordinates hold their initial values (the make_qs invariant). Box bounds are
+enforced by clipping the retracted iterate on all non-quaternion coordinates
+(the reference's quaternion "box" of [-1, 1] never binds for unit
+quaternions, stac_mjx/stac.py:23-24).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stac_mjx_tpu.models.kinematics import (
+    JNT_BALL,
+    JNT_FREE,
+    JNT_HINGE,
+    JNT_SLIDE,
+    KinParams,
+    KinTopology,
+    make_fk,
+)
+from stac_mjx_tpu.ops import quat as qm
+from stac_mjx_tpu.ops.solver import PGResult
+
+
+def quat_exp(v: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion exponential of a rotation vector (batched-safe)."""
+    angle2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.maximum(angle2, 1e-24))
+    half = 0.5 * angle
+    s = jnp.where(angle2 > 1e-16, jnp.sin(half) / angle, 0.5 - angle2 / 48.0)
+    return jnp.concatenate([jnp.cos(half), v * s], axis=-1)
+
+
+class GNIK:
+    """Per-topology Gauss-Newton IK solver with analytic Jacobians."""
+
+    def __init__(
+        self,
+        topo: KinTopology,
+        site_idxs: np.ndarray,
+        maxiter: int = 12,
+        tol: float = 1e-8,
+        damping_init: float = 1e-4,
+        damping_inc: float = 10.0,
+        damping_dec: float = 0.2,
+        max_bad_steps: int = 4,
+    ):
+        self.topo = topo
+        self.site_idxs = np.asarray(site_idxs)
+        self.maxiter = maxiter
+        self.tol = tol
+        self.damping_init = damping_init
+        self.damping_inc = damping_inc
+        self.damping_dec = damping_dec
+        self.max_bad_steps = max_bad_steps
+        self.fk = make_fk(topo)
+
+        nq, njnt = topo.nq, topo.njnt
+        jnt_dofadr = np.concatenate([[0], np.cumsum(topo.jnt_dofnum)])[:-1]
+        nv = int(topo.jnt_dofnum.sum())
+        self.nv = nv
+
+        # --- per-dof static tables
+        dof_jnt = np.zeros(nv, np.int32)  # owning joint
+        dof_body = np.zeros(nv, np.int32)  # owning body
+        dof_rot = np.zeros(nv, bool)  # rotational dof
+        dof_local_rot = np.zeros(nv, bool)  # local-frame rot (free/ball)
+        dof_axis_i = np.zeros(nv, np.int32)  # e_i index for local rot/trans
+        dof_trans_world = np.zeros(nv, bool)  # free translation
+        q2v = np.zeros((nq, nv), np.float32)  # scalar qpos <- dof scatter
+        v_from_q = np.zeros((nv, nq), np.float32)  # qpos mask -> dof mask
+        self.free_joints = []  # (qadr, dofadr)
+        self.ball_joints = []  # (qadr, dofadr)
+
+        for j in range(njnt):
+            t = int(topo.jnt_type[j])
+            qa = int(topo.jnt_qposadr[j])
+            da = int(jnt_dofadr[j])
+            b = int(topo.jnt_bodyid[j])
+            if t in (JNT_HINGE, JNT_SLIDE):
+                dof_jnt[da] = j
+                dof_body[da] = b
+                dof_rot[da] = t == JNT_HINGE
+                q2v[qa, da] = 1.0
+                v_from_q[da, qa] = 1.0
+            elif t == JNT_FREE:
+                self.free_joints.append((qa, da))
+                for i in range(3):
+                    dof_jnt[da + i] = j
+                    dof_body[da + i] = b
+                    dof_trans_world[da + i] = True
+                    dof_axis_i[da + i] = i
+                    v_from_q[da + i, qa + i] = 1.0
+                for i in range(3):
+                    d = da + 3 + i
+                    dof_jnt[d] = j
+                    dof_body[d] = b
+                    dof_rot[d] = True
+                    dof_local_rot[d] = True
+                    dof_axis_i[d] = i
+                    v_from_q[d, qa + 3 : qa + 7] = 1.0
+            elif t == JNT_BALL:
+                self.ball_joints.append((qa, da))
+                for i in range(3):
+                    d = da + i
+                    dof_jnt[d] = j
+                    dof_body[d] = b
+                    dof_rot[d] = True
+                    dof_local_rot[d] = True
+                    dof_axis_i[d] = i
+                    v_from_q[d, qa : qa + 4] = 1.0
+
+        self.dof_jnt = dof_jnt
+        self.dof_body = dof_body
+        self.dof_rot = dof_rot
+        self.dof_local_rot = dof_local_rot
+        self.dof_axis_i = dof_axis_i
+        self.dof_trans_world = dof_trans_world
+        self.q2v = q2v
+        self.v_from_q = v_from_q
+
+        # --- subtree (ancestor) masks: site k moved by dof d?
+        K = len(self.site_idxs)
+        site_body = topo.site_bodyid[self.site_idxs]
+        anc = np.zeros((K, nv), np.float32)
+        for k in range(K):
+            chain = set()
+            b = int(site_body[k])
+            while b != 0:
+                chain.add(b)
+                b = int(topo.body_parentid[b])
+            for d in range(nv):
+                if int(dof_body[d]) in chain:
+                    anc[k, d] = 1.0
+        self.site_dof_mask = anc
+
+        # --- bounds clip mask: every qpos coordinate except quaternions.
+        clipmask = np.ones(nq, bool)
+        for j in range(njnt):
+            t = int(topo.jnt_type[j])
+            qa = int(topo.jnt_qposadr[j])
+            if t == JNT_FREE:
+                clipmask[qa + 3 : qa + 7] = False
+            elif t == JNT_BALL:
+                clipmask[qa : qa + 4] = False
+        self.clip_mask = clipmask
+
+    # ----------------------------------------------------------- retraction
+
+    def retract(self, q: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+        """Apply a dof-space step to qpos (local increments on quaternions)."""
+        q_new = q + jnp.asarray(self.q2v, q.dtype) @ delta
+        for qa, da in self.free_joints:
+            q_new = q_new.at[qa : qa + 3].add(delta[da : da + 3])
+            quat = qm.quat_normalize(q[qa + 3 : qa + 7])
+            rot = quat_exp(delta[da + 3 : da + 6])
+            q_new = q_new.at[qa + 3 : qa + 7].set(qm.quat_mul(quat, rot))
+        for qa, da in self.ball_joints:
+            quat = qm.quat_normalize(q[qa : qa + 4])
+            rot = quat_exp(delta[da : da + 3])
+            q_new = q_new.at[qa : qa + 4].set(qm.quat_mul(quat, rot))
+        return q_new
+
+    # ------------------------------------------------------------- jacobian
+
+    def jacobian(self, fkres) -> jnp.ndarray:
+        """(3K, nv) site-position Jacobian from one FK pass."""
+        p = fkres.site_xpos[self.site_idxs]  # (K, 3)
+        dtype = p.dtype
+
+        xmat = qm.quat_to_mat(fkres.xquat)  # (nbody, 3, 3)
+        # World axis per dof.
+        ax_scalar = fkres.xaxis[self.dof_jnt]  # hinge/slide
+        ax_local = xmat[self.dof_body][
+            np.arange(self.nv), :, self.dof_axis_i
+        ]  # R e_i  (nv, 3)
+        eye = jnp.asarray(np.eye(3, dtype=np.float32), dtype)
+        ax_trans = eye[self.dof_axis_i]
+        local = jnp.asarray(self.dof_local_rot[:, None])
+        transw = jnp.asarray(self.dof_trans_world[:, None])
+        axes = jnp.where(transw, ax_trans, jnp.where(local, ax_local, ax_scalar))
+        # Anchor per dof: joint anchor (free local-rot anchors = body origin,
+        # which equals the free joint's xanchor).
+        anchors = fkres.xanchor[self.dof_jnt]
+
+        rel = p[:, None, :] - anchors[None, :, :]  # (K, nv, 3)
+        rot_cols = jnp.cross(axes[None, :, :], rel)  # (K, nv, 3)
+        cols = jnp.where(jnp.asarray(self.dof_rot)[None, :, None], rot_cols, axes[None, :, :])
+        cols = cols * jnp.asarray(self.site_dof_mask, dtype)[:, :, None]
+        # J[(k,c), d] = d p_k_c / d delta_d
+        return jnp.transpose(cols, (0, 2, 1)).reshape(-1, self.nv)
+
+    # ----------------------------------------------------------------- solve
+
+    def solve(
+        self,
+        params: KinParams,
+        kp_data: jnp.ndarray,
+        qs_to_opt: jnp.ndarray,
+        kps_to_opt: jnp.ndarray,
+        q0: jnp.ndarray,
+        lb: jnp.ndarray,
+        ub: jnp.ndarray,
+    ) -> PGResult:
+        """Damped GN solve of the masked marker objective from q0."""
+        dtype = q0.dtype
+        big = jnp.asarray(1e10, dtype)
+        lb_c = jnp.clip(lb, -big, big)
+        ub_c = jnp.clip(ub, -big, big)
+        clip_mask = jnp.asarray(self.clip_mask)
+        kmask = kps_to_opt.astype(dtype)
+        dof_mask = (
+            jnp.asarray(self.v_from_q, dtype) @ qs_to_opt.astype(dtype) > 0
+        ).astype(dtype)
+        eye = jnp.eye(self.nv, dtype=dtype)
+
+        def project(q):
+            return jnp.where(clip_mask, jnp.clip(q, lb_c, ub_c), q)
+
+        def loss_of(q):
+            p = self.fk(params, q).site_xpos[self.site_idxs].reshape(-1)
+            e = (p - kp_data) * kmask
+            return jnp.vdot(e, e)
+
+        def body(state):
+            k, q, lam, step2, f_x = state
+            fkres = self.fk(params, q)
+            p = fkres.site_xpos[self.site_idxs].reshape(-1)
+            e = (p - kp_data) * kmask
+            J = self.jacobian(fkres) * (kmask[:, None] * dof_mask[None, :])
+            JtJ = J.T @ J
+            g = J.T @ e
+
+            def try_step(carry):
+                ls, lam_c, _, _, _ = carry
+                A = JtJ + lam_c * eye
+                L = jax.scipy.linalg.cho_factor(A, lower=True)
+                delta = -jax.scipy.linalg.cho_solve(L, g) * dof_mask
+                q_new = project(self.retract(q, delta))
+                f_new = loss_of(q_new)
+                ok = f_new < f_x
+                return (
+                    ls + 1,
+                    jnp.where(ok, lam_c, lam_c * self.damping_inc),
+                    q_new,
+                    f_new,
+                    ok,
+                )
+
+            def ls_cond(carry):
+                ls, lam_c, q_new, f_new, ok = carry
+                return jnp.logical_and(~ok, ls < self.max_bad_steps)
+
+            carry = try_step(
+                (jnp.asarray(0, jnp.int32), lam, q, f_x, jnp.asarray(False))
+            )
+            _, lam_used, q_new, f_new, ok = jax.lax.while_loop(
+                ls_cond, try_step, carry
+            )
+            accepted = f_new < f_x
+            q_next = jnp.where(accepted, q_new, q)
+            f_next = jnp.where(accepted, f_new, f_x)
+            lam_next = jnp.where(accepted, lam_used * self.damping_dec, lam_used)
+            d = q_next - q
+            step2 = jnp.where(accepted, jnp.vdot(d, d), jnp.asarray(0.0, dtype))
+            return k + 1, q_next, lam_next, step2, f_next
+
+        def cond(state):
+            k, q, lam, step2, f_x = state
+            keep = jnp.logical_or(k == 0, step2 > self.tol)
+            return jnp.logical_and(k < self.maxiter, keep)
+
+        q_start = project(q0)
+        f0 = loss_of(q_start)
+        init = (
+            jnp.asarray(0, jnp.int32),
+            q_start,
+            jnp.asarray(self.damping_init, dtype),
+            jnp.asarray(jnp.inf, dtype),
+            f0,
+        )
+        k, q, lam, step2, f_x = jax.lax.while_loop(cond, body, init)
+        return PGResult(
+            params=q,
+            error=jnp.sqrt(step2),
+            value=f_x,
+            iters=k,
+            stepsize=1.0 / (1.0 + lam),
+        )

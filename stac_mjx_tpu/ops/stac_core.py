@@ -15,8 +15,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from stac_mjx_tpu.models.kinematics import KinParams, KinTopology, make_fk
-from stac_mjx_tpu.ops.solver import MOptResult, PGResult, ProjectedGradient
-from stac_mjx_tpu.ops.solver import m_opt_closed_form
+from stac_mjx_tpu.ops.gn_ik import GNIK
+from stac_mjx_tpu.ops.solver import (
+    MOptResult,
+    PGResult,
+    ProjectedGradient,
+    m_opt_closed_form,
+)
 
 
 def make_qs(q0: jnp.ndarray, qs_to_opt: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
@@ -40,12 +45,21 @@ class StacCore:
         site_idxs: np.ndarray,
         tol: float = 1e-5,
         n_iter_q: int = 400,
+        q_solver: str = "pg",
     ):
+        """q_solver: "pg" (projected gradient, reference parity) or "gn"
+        (damped Gauss-Newton, the TPU throughput path — ~30x fewer
+        sequential iterations for the same registration quality)."""
         self.topo = topo
         self.site_idxs = np.asarray(site_idxs)
         self.site_body = topo.site_bodyid[self.site_idxs]
         self.fk = make_fk(topo)
+        self.q_solver_kind = q_solver
         self.solver = ProjectedGradient(maxiter=n_iter_q, tol=tol)
+        if q_solver == "gn":
+            self.gnik = GNIK(
+                topo, self.site_idxs, maxiter=min(n_iter_q, 16), tol=tol * tol
+            )
 
     # ------------------------------------------------------------------ q
 
@@ -86,6 +100,11 @@ class StacCore:
         ``make_qs(q0, qs_to_opt, result.params)`` exactly like the reference
         (compute_stac.py:76-98,231-250), so masked-out entries keep q0.
         """
+
+        if self.q_solver_kind == "gn":
+            return self.gnik.solve(
+                params, kp_data, qs_to_opt, kps_to_opt, q0, lb, ub
+            )
 
         def fun(q):
             return self.q_loss(q, params, kp_data, qs_to_opt, kps_to_opt, q0)

@@ -120,6 +120,7 @@ class Stac:
             self._body_site_idxs,
             tol=float(cfg.model.FTOL),
             n_iter_q=int(cfg.model.N_ITER_Q),
+            q_solver=cfg.stac.get("q_solver", "pg") or "pg",
         )
         self._offsets = np.asarray(
             self.params.site_pos[jnp.asarray(self._body_site_idxs)]

@@ -12,9 +12,17 @@ import os
 
 
 def enable_xla_flags(cache_dir: str | None = None) -> None:
-    """Enable the persistent JAX compilation cache (TPU-friendly defaults)."""
+    """Enable the persistent JAX compilation cache (TPU-friendly defaults).
+
+    Skipped on remote-compile proxy backends (JAX_PLATFORMS containing
+    "axon"): persistent-cache serialization deadlocks the remote-compile
+    tunnel there (verified: with the cache on, even a trivial op never
+    returns its result to the host).
+    """
     import jax
 
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return
     if cache_dir is None:
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "stac-mjx-tpu", "jax"

@@ -1,0 +1,174 @@
+"""Gauss-Newton IK tests: analytic Jacobian vs finite differences, pose
+recovery, and the masking invariant (masked qpos coordinates hold q0).
+
+Same ground-truth technique as the reference's solver tests
+(tests/unit/test_m_opt.py there): synthesize keypoints by FK at a known pose
+and assert recovery, but exercised through the analytic-Jacobian GN solver.
+"""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from stac_mjx_tpu.models.builder import extract_model
+from stac_mjx_tpu.ops.gn_ik import GNIK
+from stac_mjx_tpu.ops.stac_core import StacCore
+
+# Chain with a free root + hinges on distinct axes: covers world-translation,
+# local-rotation (quaternion) and scalar-hinge dof columns of the Jacobian.
+FREE_CHAIN_XML = """
+<mujoco><worldbody>
+  <body name="root" pos="0 0 0.3">
+    <freejoint/>
+    <geom type="capsule" size=".01" fromto="0 0 0 0.1 0 0"/>
+    <site name="s0" pos="0.02 0.01 0.03"/>
+    <body name="b1" pos="0.1 0 0">
+      <joint name="j1" type="hinge" axis="0 0 1" range="-3 3"/>
+      <geom type="capsule" size=".01" fromto="0 0 0 0.1 0 0"/>
+      <site name="s1" pos="0.05 0.01 0"/>
+      <body name="b2" pos="0.1 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0" range="-3 3"/>
+        <geom type="capsule" size=".01" fromto="0 0 0 0.1 0 0"/>
+        <site name="s2" pos="0.05 -0.01 0.02"/>
+      </body>
+    </body>
+  </body>
+</worldbody></mujoco>
+"""
+
+
+@pytest.fixture(scope="module")
+def free_chain():
+    m = mujoco.MjModel.from_xml_string(FREE_CHAIN_XML)
+    topo, params = extract_model(m)
+    core = StacCore(topo, np.arange(3), tol=1e-12, n_iter_q=400)
+    gn = GNIK(topo, np.arange(3), maxiter=20, tol=1e-18)
+    return topo, params, core, gn
+
+
+def _rand_q(topo, params, rng, scale=0.2):
+    q = np.asarray(params.qpos0, np.float64).copy()
+    q += scale * rng.normal(size=q.shape)
+    q[3:7] /= np.linalg.norm(q[3:7])
+    return q
+
+
+def test_jacobian_matches_finite_differences(free_chain):
+    topo, params, core, gn = free_chain
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(_rand_q(topo, params, rng))
+
+    J = np.asarray(gn.jacobian(core.fk(params, q)))
+
+    def sites_of(delta):
+        qq = gn.retract(q, jnp.asarray(delta))
+        return np.asarray(core.fk(params, qq).site_xpos[:3].reshape(-1))
+
+    # eps/atol sized for the suite's f32 regime (central FD noise ~1e-3);
+    # the same comparison under x64 with eps=1e-6 agrees to 4e-11.
+    eps = 1e-3
+    J_fd = np.zeros_like(J)
+    for d in range(gn.nv):
+        e = np.zeros(gn.nv)
+        e[d] = eps
+        J_fd[:, d] = (sites_of(e) - sites_of(-e)) / (2 * eps)
+    np.testing.assert_allclose(J, J_fd, atol=2e-3)
+
+
+def test_gn_recovers_pose(free_chain):
+    topo, params, core, gn = free_chain
+    rng = np.random.default_rng(1)
+    q_true = jnp.asarray(_rand_q(topo, params, rng, scale=0.3))
+    kp = core.fk(params, q_true).site_xpos[:3].reshape(-1)
+
+    nq = topo.nq
+    res = gn.solve(
+        params,
+        kp,
+        jnp.ones(nq, bool),
+        jnp.ones(kp.shape[0], kp.dtype),
+        params.qpos0,
+        -jnp.full(nq, jnp.inf),
+        jnp.full(nq, jnp.inf),
+    )
+    markers = core.fk(params, res.params).site_xpos[:3].reshape(-1)
+    # f32 floor; same solve reaches <1e-8 under x64.
+    np.testing.assert_allclose(np.asarray(markers), np.asarray(kp), atol=1e-4)
+
+
+def test_gn_masked_coords_hold_q0(free_chain):
+    """Masked-out qpos coordinates must keep their initial values exactly."""
+    topo, params, core, gn = free_chain
+    rng = np.random.default_rng(2)
+    q_true = jnp.asarray(_rand_q(topo, params, rng, scale=0.3))
+    kp = core.fk(params, q_true).site_xpos[:3].reshape(-1)
+
+    nq = topo.nq
+    mask = np.ones(nq, bool)
+    mask[7:] = False  # freeze both hinges; optimize the free root only
+    q0 = params.qpos0
+    res = gn.solve(
+        params,
+        kp,
+        jnp.asarray(mask),
+        jnp.ones(kp.shape[0], kp.dtype),
+        q0,
+        -jnp.full(nq, jnp.inf),
+        jnp.full(nq, jnp.inf),
+    )
+    np.testing.assert_array_equal(np.asarray(res.params)[7:], np.asarray(q0)[7:])
+    assert not np.allclose(np.asarray(res.params)[:3], np.asarray(q0)[:3])
+
+
+def test_gn_respects_bounds(free_chain):
+    topo, params, core, gn = free_chain
+    rng = np.random.default_rng(3)
+    q_true = jnp.asarray(_rand_q(topo, params, rng, scale=0.5))
+    kp = core.fk(params, q_true).site_xpos[:3].reshape(-1)
+
+    nq = topo.nq
+    lb = np.full(nq, -np.inf)
+    ub = np.full(nq, np.inf)
+    lb[7:] = -0.05  # tight hinge box
+    ub[7:] = 0.05
+    res = gn.solve(
+        params,
+        kp,
+        jnp.ones(nq, bool),
+        jnp.ones(kp.shape[0], kp.dtype),
+        params.qpos0,
+        jnp.asarray(lb, kp.dtype),
+        jnp.asarray(ub, kp.dtype),
+    )
+    q = np.asarray(res.params)
+    assert (q[7:] >= -0.05 - 1e-6).all() and (q[7:] <= 0.05 + 1e-6).all()
+
+
+def test_gn_through_stac_core_vmap(free_chain):
+    """StacCore(q_solver='gn') jit+vmaps across frames and beats the PG loss."""
+    topo, params, core_pg, _ = free_chain
+    core_gn = StacCore(topo, np.arange(3), tol=1e-6, n_iter_q=50, q_solver="gn")
+    rng = np.random.default_rng(4)
+    F = 4
+    nq = topo.nq
+    q_true = np.stack([_rand_q(topo, params, rng, scale=0.3) for _ in range(F)])
+    kp = jax.vmap(lambda q: core_pg.fk(params, q).site_xpos[:3].reshape(-1))(
+        jnp.asarray(q_true)
+    )
+
+    qs_all = jnp.ones(nq, bool)
+    kmask = jnp.ones(kp.shape[1], kp.dtype)
+    lb = -jnp.full(nq, jnp.inf)
+    ub = jnp.full(nq, jnp.inf)
+
+    solve = jax.jit(
+        jax.vmap(
+            lambda kp_t: core_gn.q_opt(
+                params, kp_t, qs_all, kmask, params.qpos0, lb, ub
+            ).value
+        )
+    )
+    losses = np.asarray(solve(kp))
+    assert (losses < 1e-6).all()
