@@ -21,6 +21,7 @@ from stac_mjx_tpu import io
 from stac_mjx_tpu import pipeline
 from stac_mjx_tpu.models.builder import build_fit_model
 from stac_mjx_tpu.ops.stac_core import StacCore
+from stac_mjx_tpu.utils import profiling
 from stac_mjx_tpu.utils.batching import batch_kp_data
 
 # MuJoCo jnt_type enums (mujoco.mjtJoint): FREE=0, BALL=1, SLIDE=2, HINGE=3.
@@ -205,10 +206,11 @@ class Stac:
                 "root, skipping Root Optimization"
             )
 
-        out = self._fit_fn(
-            self.params, kp_data, self._lb, self._ub, self._is_regularized
-        )
-        out = jax.tree_util.tree_map(np.asarray, out)
+        with profiling.phase("fit_offsets"):
+            out = self._fit_fn(
+                self.params, kp_data, self._lb, self._ub, self._is_regularized
+            )
+            out = jax.tree_util.tree_map(np.asarray, out)
 
         for i in range(self._static_cfg.n_iters):
             _, mean, std = self._get_error_stats(out["iter_frame_errors"][i])
@@ -269,9 +271,11 @@ class Stac:
 
         batched_kp = shard_clips(batched_kp)
         offsets = jnp.asarray(offsets, dtype=self.params.qpos0.dtype)
-        qposes, xposes, xquats, marker_sites, errors = self._ik_fn(
-            self.params, batched_kp, offsets, self._lb, self._ub
-        )
+        with profiling.phase("ik_only"):
+            qposes, xposes, xquats, marker_sites, errors = self._ik_fn(
+                self.params, batched_kp, offsets, self._lb, self._ub
+            )
+            jax.block_until_ready(qposes)
 
         _, mean, std = self._get_error_stats(np.asarray(errors))
         print(f"ik_only: frame error mean {mean:.6g} std {std:.6g}")

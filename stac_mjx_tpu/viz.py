@@ -8,6 +8,7 @@ frames are produced by mj_fwdPosition + mujoco.Renderer and streamed to mp4.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -16,16 +17,35 @@ from stac_mjx_tpu import io
 from stac_mjx_tpu.models.builder import build_body_spec
 
 
-def build_render_model(stac, offsets, show_marker_error: bool = False):
+def _ensure_headless_gl() -> None:
+    """Default to EGL off-screen rendering when no display is available.
+
+    The reference documents this as a manual install step (README.md:79-96 /
+    install_graphics.sh there); here headless hosts just work. Must run
+    before the first ``import mujoco`` in the process to take effect.
+    """
+    if "MUJOCO_GL" not in os.environ and not os.environ.get("DISPLAY"):
+        os.environ["MUJOCO_GL"] = "egl"
+
+
+def build_render_model(
+    stac, offsets, show_marker_error: bool = False, height: int = 0, width: int = 0
+):
     """Compile a render model with keypoint + new-offset sites.
 
     Parity: stac_mjx/stac.py:505-567 (random sub-mm initial keypoint site
     positions, group assignments, tendons wrapping kp<->marker pairs).
+    height/width grow the offscreen framebuffer when the model XML's visual
+    defaults are smaller than the requested render size.
     """
     import mujoco
 
     cfg_model = stac.cfg.model
     render_spec = build_body_spec(stac._xml_path, cfg_model)
+    if width > render_spec.visual.global_.offwidth:
+        render_spec.visual.global_.offwidth = width
+    if height > render_spec.visual.global_.offheight:
+        render_spec.visual.global_.offheight = height
     marker_size = float(cfg_model.MARKER_SIZE)
 
     keypoint_site_names = []
@@ -88,6 +108,7 @@ def render_stac(
     show_marker_error: bool = False,
 ):
     """Render fitted results as a video (parity: stac_mjx/stac.py:569-658)."""
+    _ensure_headless_gl()
     import imageio
     import mujoco
 
@@ -111,7 +132,7 @@ def render_stac(
         )
 
     render_mj_model, keypoint_site_idxs = build_render_model(
-        stac, offsets, show_marker_error
+        stac, offsets, show_marker_error, height=height, width=width
     )
 
     scene_option = mujoco.MjvOption()
@@ -137,16 +158,36 @@ def render_stac(
 
     frames = []
     fps = int(stac.cfg.model.RENDER_FPS)
-    with imageio.get_writer(save_path, fps=fps) as video:
-        for qpos, kps in zip(qposes, kp_data):
-            render_mj_model.site_pos[keypoint_site_idxs] = np.reshape(kps, (-1, 3))
-            mj_data.qpos = qpos
-            mujoco.mj_fwdPosition(render_mj_model, mj_data)
-            renderer.update_scene(mj_data, camera=camera, scene_option=scene_option)
-            pixels = renderer.render()
-            video.append_data(pixels)
-            frames.append(pixels)
+    for qpos, kps in zip(qposes, kp_data):
+        render_mj_model.site_pos[keypoint_site_idxs] = np.reshape(kps, (-1, 3))
+        mj_data.qpos = qpos
+        mujoco.mj_fwdPosition(render_mj_model, mj_data)
+        renderer.update_scene(mj_data, camera=camera, scene_option=scene_option)
+        frames.append(renderer.render())
+    _write_video(save_path, frames, fps)
     return frames
+
+
+def _write_video(save_path, frames, fps: int) -> None:
+    """Stream frames to disk: imageio/ffmpeg when available, else OpenCV."""
+    import imageio
+
+    try:
+        with imageio.get_writer(save_path, fps=fps) as video:
+            for f in frames:
+                video.append_data(f)
+    except (ValueError, ImportError):
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        out = cv2.VideoWriter(
+            str(save_path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        try:
+            for f in frames:
+                out.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        finally:
+            out.release()
 
 
 def viz_stac(
