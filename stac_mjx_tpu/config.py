@@ -82,6 +82,7 @@ class StacConfig:
     # TPU-native extensions (absent keys default; reference files still load):
     pose_mode: str = "sequential"  # "sequential" (parity) | "lockstep"
     q_solver: str = "pg"  # "pg" (parity) | "gn" (Gauss-Newton throughput)
+    skip_part_opt: bool = False  # drop per-part refinement solves (gn mode)
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
 
 

@@ -128,6 +128,11 @@ class Stac:
         )
 
         pose_mode = cfg.stac.get("pose_mode", "sequential") or "sequential"
+        # skip_part_opt drops the per-part refinement solves after the full-q
+        # solve. With the Gauss-Newton solver the full solve already converges
+        # (the part passes exist to mop up projected gradient's slow tail), so
+        # this trades ~0.1mm of residual for ~5x throughput on TPU.
+        skip_parts = bool(cfg.stac.get("skip_part_opt", False))
         self._static_cfg = pipeline.StacConfigStatic(
             n_iters=int(cfg.model.N_ITERS),
             n_sample_frames=int(cfg.model.N_SAMPLE_FRAMES),
@@ -135,7 +140,7 @@ class Stac:
             root_kp_idx=self._root_kp_idx,
             root_dims=4 if self._slidejoint else 7,
             do_root_opt=(self._root_kp_idx >= 0) and not self._fixed,
-            indiv_parts=tuple(self._indiv_parts),
+            indiv_parts=() if skip_parts else tuple(self._indiv_parts),
             trunk_kps=self._trunk_kps,
             pose_mode=pose_mode,
         )

@@ -96,3 +96,16 @@ def test_zoo_part_masks_match_reference_semantics(zoo_stac):
             [any(p in nm for p in entries) for nm in stac._part_names]
         )
         np.testing.assert_array_equal(np.asarray(mask), expected)
+
+
+def test_skip_part_opt_drops_refinement_passes():
+    """stac.skip_part_opt=true compiles the fit/ik programs without the
+    per-part refinement solves (the gn-mode throughput configuration)."""
+    cfg = compose_config(
+        "/root/repo/configs",
+        overrides=["model=rodent", "stac.skip_part_opt=true", "stac.q_solver=gn"],
+    )
+    xml = resolve_asset(cfg.model.MJCF_PATH, "/root/repo")
+    stac = Stac(xml, cfg, list(cfg.model.KP_NAMES))
+    assert stac._static_cfg.indiv_parts == ()
+    assert len(stac._indiv_parts) == 5  # masks still built for introspection
