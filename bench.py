@@ -3,10 +3,12 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
 
-Workload: the reference's rodent demo recording (1000 frames, 23 keypoints)
-solved by the whole-program lockstep IK path (all frames in parallel, full
-N_ITER_Q=400 / FTOL=1e-4 solver budget + the 5 per-part refinement solves per
-frame — the same per-frame work as the reference pipeline).
+Workload: the reference's rodent demo recording (1000 frames, 23 keypoints),
+root optimization + a full-q pose solve per frame, solved by the throughput
+configuration (lockstep scheduling, Gauss-Newton solver, pointer-doubling
+FK, no per-part refinement — see the overrides below). Quality is reported
+alongside speed: mean_marker_resid_m on this workload beats the
+reference-algorithm (projected gradient + part refinement) result.
 
 vs_baseline: measured against the reference's architecture on the SAME chip —
 sequential per-frame Python dispatch of the identical jitted solver (how
@@ -54,6 +56,9 @@ def main() -> int:
             # mean_marker_resid_m is the quality check (beats the PG path's
             # 3.6mm on this workload either way).
             "stac.skip_part_opt=true",
+            # Pointer-doubling FK: 6 composition steps instead of 39
+            # sequential tree levels per FK evaluation.
+            "stac.fk_impl=jump",
         ],
     )
     data_file = resolve_asset(

@@ -83,6 +83,7 @@ class StacConfig:
     pose_mode: str = "sequential"  # "sequential" (parity) | "lockstep"
     q_solver: str = "pg"  # "pg" (parity) | "gn" (Gauss-Newton throughput)
     skip_part_opt: bool = False  # drop per-part refinement solves (gn mode)
+    fk_impl: str = "scan"  # "scan" (O(depth)) | "jump" (pointer doubling)
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
 
 

@@ -321,6 +321,161 @@ def make_fk(topo: KinTopology):
     return fk
 
 
+def make_fk_jump(topo: KinTopology):
+    """Pointer-doubling FK: O(log depth) sequential steps instead of O(depth).
+
+    Same result contract as ``make_fk`` (golden-tested against it and against
+    ``mujoco.mj_kinematics``), different schedule:
+
+    1. **Local pass** (fully parallel over bodies): each body's transform
+       relative to its parent — body offset composed with its joint slots —
+       plus every joint's anchor/axis expressed in the parent frame. One
+       batched computation over all nbody bodies; no tree walk.
+    2. **Doubling pass**: with ``P`` the parent pointer array,
+       ``T[b] <- T[P[b]] . T[b]; P <- P[P]`` repeated ceil(log2(depth))
+       times composes every body's chain to the world frame. The pointer
+       arrays are static (precomputed on host), so each step is one batched
+       quaternion compose + rotate over all bodies — for the rodent's
+       39-deep tree this is 6 steps instead of 39, and under vmap each step
+       is a single (frames x nbody) VPU op.
+
+    Free joints override the composed frame entirely (their world transform
+    comes straight from qpos), so their jump pointer is rewired to the world
+    body. The throughput q-solver uses this FK; the scan FK remains the
+    reference-shaped default.
+    """
+    n7 = np.arange(7)
+    nq = topo.nq
+    S = max(topo.max_slots, 1)
+
+    # Jump pointers: free-jointed bodies attach directly to world.
+    jump_parent = topo.body_parentid.copy()
+    has_free = np.zeros(topo.nbody, dtype=bool)
+    for b in range(topo.nbody):
+        if topo.max_slots and topo.slot_type[b, 0] == JNT_FREE:
+            jump_parent[b] = 0
+            has_free[b] = True
+
+    depth = np.zeros(topo.nbody, dtype=np.int64)
+    for b in range(1, topo.nbody):
+        depth[b] = depth[jump_parent[b]] + 1
+    max_depth = int(depth.max()) if topo.nbody > 1 else 0
+    n_jumps = int(np.ceil(np.log2(max_depth))) if max_depth > 1 else max_depth
+
+    # Precompute the static pointer array for each doubling step.
+    ptr_steps = []
+    P = jump_parent.astype(np.int32)
+    for _ in range(n_jumps):
+        ptr_steps.append(P)
+        P = P[P]
+
+    # Static scatter map for (body, slot) -> joint id over valid slots.
+    valid = (topo.slot_type != JNT_NONE).ravel()
+    flat_idx = np.nonzero(valid)[0].astype(np.int32)
+    flat_jid = topo.slot_jid.ravel()[flat_idx]
+    flat_parent = topo.body_parentid[
+        (flat_idx // S).astype(np.int32)
+    ]  # parent body of each valid joint's body
+
+    slot_jid_c = np.maximum(topo.slot_jid, 0)
+
+    def fk(params: KinParams, qpos: jnp.ndarray) -> FKResult:
+        dtype = qpos.dtype
+
+        # ---- local pass: parent-relative transforms, all bodies at once.
+        t = params.body_pos
+        q = params.body_quat
+        anchors_p = []
+        axes_p = []
+        for s in range(topo.max_slots):
+            jid = slot_jid_c[:, s]
+            jtype = topo.slot_type[:, s]
+            qadr = topo.slot_qadr[:, s]
+
+            axis = params.jnt_axis[jid]
+            jpos = params.jnt_pos[jid]
+            q1 = qpos[np.minimum(qadr, nq - 1)]
+            q0ref = params.qpos0[np.minimum(qadr, nq - 1)]
+            qv7 = qpos[np.minimum(qadr[:, None] + n7, nq - 1)]
+
+            anchor = t + qm.quat_rotate(q, jpos)
+            axis_w = qm.quat_rotate(q, axis)
+
+            is_free = jnp.asarray((jtype == JNT_FREE))[:, None]
+            is_ball = jnp.asarray((jtype == JNT_BALL))[:, None]
+            is_slide = jnp.asarray((jtype == JNT_SLIDE))[:, None]
+            is_hinge = jnp.asarray((jtype == JNT_HINGE))[:, None]
+
+            free_pos = qv7[:, :3]
+            free_quat = qm.quat_normalize(qv7[:, 3:7])
+
+            ball_qloc = qm.quat_normalize(qv7[:, :4])
+            ball_quat = qm.quat_mul(q, ball_qloc)
+            ball_pos = anchor - qm.quat_rotate(ball_quat, jpos)
+
+            hinge_qloc = qm.axis_angle_quat(axis, q1 - q0ref)
+            hinge_quat = qm.quat_mul(q, hinge_qloc)
+            hinge_pos = anchor - qm.quat_rotate(hinge_quat, jpos)
+
+            slide_pos = t + axis_w * (q1 - q0ref)[:, None]
+
+            t = jnp.where(
+                is_free,
+                free_pos,
+                jnp.where(
+                    is_ball,
+                    ball_pos,
+                    jnp.where(is_hinge, hinge_pos, jnp.where(is_slide, slide_pos, t)),
+                ),
+            )
+            q = jnp.where(
+                is_free,
+                free_quat,
+                jnp.where(is_ball, ball_quat, jnp.where(is_hinge, hinge_quat, q)),
+            )
+            anchors_p.append(jnp.where(is_free, free_pos, anchor))
+            axes_p.append(jnp.where(is_free, axis, axis_w))
+
+        # Worldbody stays the identity frame.
+        t = t.at[0].set(jnp.zeros(3, dtype=dtype))
+        q = q.at[0].set(jnp.asarray([1.0, 0, 0, 0], dtype=dtype))
+
+        # ---- doubling pass: static pointer gathers, log2(depth) steps.
+        for P_k in ptr_steps:
+            t = t[P_k] + qm.quat_rotate(q[P_k], t)
+            q = qm.quat_mul(q[P_k], q)
+
+        xquat = qm.quat_normalize(q)
+        xpos = t
+
+        # ---- world anchors/axes (free joints keep their qpos-native values).
+        xanchor = jnp.zeros((max(topo.njnt, 1), 3), dtype=dtype)
+        xaxis = jnp.zeros((max(topo.njnt, 1), 3), dtype=dtype)
+        if flat_idx.size and topo.max_slots:
+            anch_ps = jnp.stack(anchors_p, axis=1).reshape(-1, 3)[flat_idx]
+            axis_ps = jnp.stack(axes_p, axis=1).reshape(-1, 3)[flat_idx]
+            jt = topo.jnt_type[flat_jid]
+            freej = jnp.asarray(jt == JNT_FREE)[:, None]
+            pq = xquat[flat_parent]
+            pt = xpos[flat_parent]
+            anch_w = jnp.where(freej, anch_ps, pt + qm.quat_rotate(pq, anch_ps))
+            axis_w = jnp.where(freej, axis_ps, qm.quat_rotate(pq, axis_ps))
+            xanchor = xanchor.at[flat_jid].set(anch_w)
+            xaxis = xaxis.at[flat_jid].set(axis_w)
+
+        sb = topo.site_bodyid
+        site_xpos = xpos[sb] + qm.quat_rotate(xquat[sb], params.site_pos)
+        return FKResult(
+            xpos=xpos,
+            xquat=xquat,
+            site_xpos=site_xpos,
+            xanchor=xanchor,
+            xaxis=xaxis,
+        )
+
+    return fk
+
+
 def make_site_fk(topo: KinTopology, site_idxs: np.ndarray):
     """FK specialized to a subset of sites: returns (site_xpos_subset,).
 

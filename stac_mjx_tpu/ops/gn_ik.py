@@ -41,6 +41,7 @@ from stac_mjx_tpu.models.kinematics import (
     KinParams,
     KinTopology,
     make_fk,
+    make_fk_jump,
 )
 from stac_mjx_tpu.ops import quat as qm
 from stac_mjx_tpu.ops.solver import PGResult
@@ -68,6 +69,7 @@ class GNIK:
         damping_inc: float = 10.0,
         damping_dec: float = 0.2,
         max_bad_steps: int = 4,
+        fk_impl: str = "scan",
     ):
         self.topo = topo
         self.site_idxs = np.asarray(site_idxs)
@@ -77,7 +79,7 @@ class GNIK:
         self.damping_inc = damping_inc
         self.damping_dec = damping_dec
         self.max_bad_steps = max_bad_steps
-        self.fk = make_fk(topo)
+        self.fk = (make_fk_jump if fk_impl == "jump" else make_fk)(topo)
 
         nq, njnt = topo.nq, topo.njnt
         jnt_dofadr = np.concatenate([[0], np.cumsum(topo.jnt_dofnum)])[:-1]

@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stac_mjx_tpu.models.kinematics import KinParams, KinTopology, make_fk
+from stac_mjx_tpu.models.kinematics import (
+    KinParams,
+    KinTopology,
+    make_fk,
+    make_fk_jump,
+)
 from stac_mjx_tpu.ops.gn_ik import GNIK
 from stac_mjx_tpu.ops.solver import (
     MOptResult,
@@ -46,19 +51,27 @@ class StacCore:
         tol: float = 1e-5,
         n_iter_q: int = 400,
         q_solver: str = "pg",
+        fk_impl: str = "scan",
     ):
         """q_solver: "pg" (projected gradient, reference parity) or "gn"
         (damped Gauss-Newton, the TPU throughput path — ~30x fewer
-        sequential iterations for the same registration quality)."""
+        sequential iterations for the same registration quality).
+        fk_impl: "scan" (level scan, O(depth) steps) or "jump"
+        (pointer doubling, O(log depth) steps — the TPU throughput FK)."""
         self.topo = topo
         self.site_idxs = np.asarray(site_idxs)
         self.site_body = topo.site_bodyid[self.site_idxs]
-        self.fk = make_fk(topo)
+        make = make_fk_jump if fk_impl == "jump" else make_fk
+        self.fk = make(topo)
         self.q_solver_kind = q_solver
         self.solver = ProjectedGradient(maxiter=n_iter_q, tol=tol)
         if q_solver == "gn":
             self.gnik = GNIK(
-                topo, self.site_idxs, maxiter=min(n_iter_q, 16), tol=tol * tol
+                topo,
+                self.site_idxs,
+                maxiter=min(n_iter_q, 16),
+                tol=tol * tol,
+                fk_impl=fk_impl,
             )
 
     # ------------------------------------------------------------------ q

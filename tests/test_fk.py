@@ -108,3 +108,58 @@ def test_fk_site_offsets_update():
     moved = fk(p2, q).site_xpos
     assert not np.allclose(np.array(base[0]), np.array(moved[0]))
     np.testing.assert_allclose(np.array(base[1:]), np.array(moved[1:]))
+
+
+# ----------------------------- pointer-doubling FK ---------------------------
+
+
+def _jump_golden_check(m: mujoco.MjModel, n=10, seed=3, atol=2e-5):
+    """make_fk_jump against the C oracle, including anchors/axes."""
+    from stac_mjx_tpu.models.kinematics import make_fk_jump
+
+    d = mujoco.MjData(m)
+    topo, params = extract_model(m)
+    fkv = jax.jit(jax.vmap(make_fk_jump(topo), in_axes=(None, 0)))
+    rng = np.random.default_rng(seed)
+    qs = np.tile(m.qpos0, (n, 1)) + rng.normal(0, 0.5, (n, m.nq))
+    res = fkv(params, jnp.asarray(qs, dtype=jnp.float32))
+    for i in range(n):
+        d.qpos[:] = qs[i]
+        mujoco.mj_kinematics(m, d)
+        np.testing.assert_allclose(np.array(res.xpos[i]), d.xpos, atol=atol)
+        if m.nsite:
+            np.testing.assert_allclose(
+                np.array(res.site_xpos[i]), d.site_xpos, atol=atol
+            )
+        if m.njnt:
+            np.testing.assert_allclose(
+                np.array(res.xanchor[i]), d.xanchor, atol=atol
+            )
+            np.testing.assert_allclose(np.array(res.xaxis[i]), d.xaxis, atol=atol)
+
+
+def test_fk_jump_mixed_joint_types():
+    _jump_golden_check(mujoco.MjModel.from_xml_string(MIXED_XML))
+
+
+def test_fk_jump_rodent():
+    m = mujoco.MjModel.from_xml_path(reference_path("models/rodent.xml"))
+    _jump_golden_check(m, n=5)
+
+
+def test_fk_jump_matches_scan_gradients():
+    """Both FK schedules give identical values and finite, equal gradients."""
+    from stac_mjx_tpu.models.kinematics import make_fk_jump
+
+    m = mujoco.MjModel.from_xml_string(MIXED_XML)
+    topo, params = extract_model(m)
+    fk_s, fk_j = make_fk(topo), make_fk_jump(topo)
+    q = jnp.asarray(m.qpos0, jnp.float32) + 0.1
+
+    def loss(fk):
+        return lambda qq: jnp.sum(fk(params, qq).site_xpos ** 2)
+
+    np.testing.assert_allclose(loss(fk_s)(q), loss(fk_j)(q), rtol=1e-5)
+    gs, gj = jax.grad(loss(fk_s))(q), jax.grad(loss(fk_j))(q)
+    assert np.isfinite(np.asarray(gj)).all()
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gj), atol=1e-4)
