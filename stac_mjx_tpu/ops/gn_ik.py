@@ -70,7 +70,13 @@ class GNIK:
         damping_dec: float = 0.2,
         max_bad_steps: int = 4,
         fk_impl: str = "scan",
+        linesearch: bool = True,
     ):
+        """linesearch=False selects the flat LM schedule: exactly one
+        FK/Jacobian/loss evaluation per iteration with accept/reject +
+        damping adaptation, no nested while_loop. Under vmap a nested
+        linesearch makes every frame pay the slowest frame's trial count;
+        the flat schedule keeps all lanes in lockstep."""
         self.topo = topo
         self.site_idxs = np.asarray(site_idxs)
         self.maxiter = maxiter
@@ -79,6 +85,7 @@ class GNIK:
         self.damping_inc = damping_inc
         self.damping_dec = damping_dec
         self.max_bad_steps = max_bad_steps
+        self.linesearch = linesearch
         self.fk = (make_fk_jump if fk_impl == "jump" else make_fk)(topo)
 
         nq, njnt = topo.nq, topo.njnt
@@ -247,6 +254,49 @@ class GNIK:
             p = self.fk(params, q).site_xpos[self.site_idxs].reshape(-1)
             e = (p - kp_data) * kmask
             return jnp.vdot(e, e)
+
+        def lm_step(q, lam, f_x):
+            """One damped step from q: returns (q_trial, f_trial)."""
+            fkres = self.fk(params, q)
+            p = fkres.site_xpos[self.site_idxs].reshape(-1)
+            e = (p - kp_data) * kmask
+            J = self.jacobian(fkres) * (kmask[:, None] * dof_mask[None, :])
+            A = J.T @ J + lam * eye
+            g = J.T @ e
+            L = jax.scipy.linalg.cho_factor(A, lower=True)
+            delta = -jax.scipy.linalg.cho_solve(L, g) * dof_mask
+            q_new = project(self.retract(q, delta))
+            return q_new, loss_of(q_new)
+
+        if not self.linesearch:
+            # Flat LM: fixed iteration count, one trial per iteration,
+            # accept/reject + damping adaptation. All vmap lanes stay in
+            # lockstep (no nested data-dependent loop).
+            def body(k, state):
+                q, lam, f_x = state
+                q_new, f_new = lm_step(q, lam, f_x)
+                ok = f_new < f_x
+                q = jnp.where(ok, q_new, q)
+                f_x = jnp.where(ok, f_new, f_x)
+                lam = jnp.where(
+                    ok, lam * self.damping_dec, lam * self.damping_inc
+                )
+                return q, lam, f_x
+
+            q_start = project(q0)
+            q, lam, f_x = jax.lax.fori_loop(
+                0,
+                self.maxiter,
+                body,
+                (q_start, jnp.asarray(self.damping_init, dtype), loss_of(q_start)),
+            )
+            return PGResult(
+                params=q,
+                error=jnp.sqrt(f_x),
+                value=f_x,
+                iters=jnp.asarray(self.maxiter, jnp.int32),
+                stepsize=1.0 / (1.0 + lam),
+            )
 
         def body(state):
             k, q, lam, step2, f_x = state

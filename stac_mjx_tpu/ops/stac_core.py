@@ -53,9 +53,10 @@ class StacCore:
         q_solver: str = "pg",
         fk_impl: str = "scan",
     ):
-        """q_solver: "pg" (projected gradient, reference parity) or "gn"
-        (damped Gauss-Newton, the TPU throughput path — ~30x fewer
-        sequential iterations for the same registration quality).
+        """q_solver: "pg" (projected gradient, reference parity), "gn"
+        (damped Gauss-Newton with backtracking linesearch, ~30x fewer
+        sequential iterations), or "gn-lm" (flat Levenberg-Marquardt: fixed
+        iteration count, no nested loop — best lockstep throughput).
         fk_impl: "scan" (level scan, O(depth) steps) or "jump"
         (pointer doubling, O(log depth) steps — the TPU throughput FK)."""
         self.topo = topo
@@ -63,15 +64,16 @@ class StacCore:
         self.site_body = topo.site_bodyid[self.site_idxs]
         make = make_fk_jump if fk_impl == "jump" else make_fk
         self.fk = make(topo)
-        self.q_solver_kind = q_solver
+        self.q_solver_kind = "gn" if q_solver.startswith("gn") else q_solver
         self.solver = ProjectedGradient(maxiter=n_iter_q, tol=tol)
-        if q_solver == "gn":
+        if q_solver.startswith("gn"):
             self.gnik = GNIK(
                 topo,
                 self.site_idxs,
                 maxiter=min(n_iter_q, 16),
                 tol=tol * tol,
                 fk_impl=fk_impl,
+                linesearch=(q_solver != "gn-lm"),
             )
 
     # ------------------------------------------------------------------ q

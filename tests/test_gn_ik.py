@@ -172,3 +172,45 @@ def test_gn_through_stac_core_vmap(free_chain):
     )
     losses = np.asarray(solve(kp))
     assert (losses < 1e-6).all()
+
+
+def test_gn_flat_lm_recovers_pose(free_chain):
+    """linesearch=False (flat LM): same recovery contract as the default."""
+    topo, params, core, _ = free_chain
+    gn = GNIK(topo, np.arange(3), maxiter=20, tol=1e-18, linesearch=False)
+    rng = np.random.default_rng(5)
+    q_true = jnp.asarray(_rand_q(topo, params, rng, scale=0.3))
+    kp = core.fk(params, q_true).site_xpos[:3].reshape(-1)
+    nq = topo.nq
+    res = gn.solve(
+        params,
+        kp,
+        jnp.ones(nq, bool),
+        jnp.ones(kp.shape[0], kp.dtype),
+        params.qpos0,
+        -jnp.full(nq, jnp.inf),
+        jnp.full(nq, jnp.inf),
+    )
+    markers = core.fk(params, res.params).site_xpos[:3].reshape(-1)
+    np.testing.assert_allclose(np.asarray(markers), np.asarray(kp), atol=2e-4)
+
+
+def test_gn_lm_through_stac_core(free_chain):
+    """StacCore(q_solver='gn-lm') routes to the flat-LM schedule."""
+    topo, params, core_pg, _ = free_chain
+    core = StacCore(topo, np.arange(3), tol=1e-6, n_iter_q=50, q_solver="gn-lm")
+    assert core.gnik.linesearch is False
+    rng = np.random.default_rng(6)
+    q_true = jnp.asarray(_rand_q(topo, params, rng, scale=0.2))
+    kp = core_pg.fk(params, q_true).site_xpos[:3].reshape(-1)
+    nq = topo.nq
+    res = core.q_opt(
+        params,
+        kp,
+        jnp.ones(nq, bool),
+        jnp.ones(kp.shape[0], kp.dtype),
+        params.qpos0,
+        -jnp.full(nq, jnp.inf),
+        jnp.full(nq, jnp.inf),
+    )
+    assert float(res.value) < 1e-6
