@@ -69,9 +69,14 @@ def load_data(cfg, base_path: Path | None = None):
         data, kp_names = load_nwb(file_path)
     elif file_path.suffix == ".h5":
         data, kp_names = load_h5(file_path)
+    elif file_path.suffix == ".csv":
+        data, kp_names = load_csv(
+            file_path, kp_names=cfg.model.get("KP_NAMES", None)
+        )
     else:
         raise ValueError(
-            "Unsupported file extension. Please provide a .mat, .nwb, or .h5 file."
+            "Unsupported file extension. Please provide a .mat, .nwb, .h5, "
+            "or .csv file."
         )
 
     kp_names = kp_names or cfg.model.get("KP_NAMES", None)
@@ -141,6 +146,38 @@ def load_h5(filename):
     data = np.squeeze(np.array(data), axis=1)
     data = np.transpose(data, (0, 2, 1))
     return data, None
+
+
+def load_csv(filename, kp_names: list | None = None):
+    """Treadmill-style CSV loader: per-keypoint ``<name>_x/_y/_z`` columns.
+
+    First-party equivalent of the column gathering the reference's fly
+    treadmill driver does inline with pandas
+    (demos/run_stac_fly_model.py:30-36). Keypoint names come from
+    ``kp_names`` when given; otherwise they are inferred from the header's
+    ``*_x`` columns in file order. Returns [frames, xyz, keypoints] + names.
+    """
+    import csv
+
+    with open(filename, newline="") as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        rows = [row for row in reader if row]
+    col = {name: i for i, name in enumerate(header)}
+    if kp_names is None:
+        kp_names = [c[:-2] for c in header if c.endswith("_x")]
+    missing = [
+        f"{kp}{suf}"
+        for kp in kp_names
+        for suf in ("_x", "_y", "_z")
+        if f"{kp}{suf}" not in col
+    ]
+    if missing:
+        raise ValueError(f"CSV is missing keypoint columns: {missing}")
+    raw = np.asarray(rows, dtype=np.float64)
+    idx = [[col[f"{kp}{suf}"] for suf in ("_x", "_y", "_z")] for kp in kp_names]
+    data = raw[:, np.asarray(idx)]  # [F, K, xyz]
+    return np.transpose(data, (0, 2, 1)), list(kp_names)
 
 
 def _check_keys(d: dict) -> dict:

@@ -72,7 +72,7 @@ def test_kp_name_count_mismatch_raises():
 
 def test_unsupported_suffix_raises():
     cfg = compose_config("configs")
-    cfg.stac.data_path = "something.csv"
+    cfg.stac.data_path = "something.pickle"
     with pytest.raises(ValueError, match="Unsupported file extension"):
         io.load_data(cfg, base_path="/root/repo")
 
@@ -99,3 +99,25 @@ def test_h5_roundtrip(tmp_path):
     np.testing.assert_allclose(d2.qvel, data.qvel)
     assert d2.kp_names == ["part_0"]
     assert cfg2.model.MJCF_PATH == cfg.model.MJCF_PATH
+
+
+def test_load_csv(tmp_path):
+    """Treadmill CSV loader: <kp>_x/_y/_z columns -> [F, xyz, K] + names."""
+    p = tmp_path / "treadmill.csv"
+    p.write_text(
+        "head_x,head_y,head_z,thorax_x,thorax_y,thorax_z\n"
+        "1,2,3,4,5,6\n"
+        "7,8,9,10,11,12\n"
+    )
+    data, names = io.load_csv(p)
+    assert names == ["head", "thorax"]
+    assert data.shape == (2, 3, 2)
+    np.testing.assert_allclose(data[0, :, 0], [1, 2, 3])
+    np.testing.assert_allclose(data[1, :, 1], [10, 11, 12])
+
+    # explicit name order is respected
+    data2, names2 = io.load_csv(p, kp_names=["thorax", "head"])
+    np.testing.assert_allclose(data2[0, :, 0], [4, 5, 6])
+
+    with pytest.raises(ValueError, match="missing keypoint columns"):
+        io.load_csv(p, kp_names=["head", "abdomen"])
