@@ -45,11 +45,14 @@ def main() -> int:
         overrides=[
             f"stac.n_frames_per_clip={n_frames}",
             "stac.pose_mode=lockstep",
-            # Throughput solver: analytic-Jacobian damped Gauss-Newton
-            # (ops/gn_ik.py) — same masked marker objective as the
-            # reference's 400-iteration projected gradient, ~30x fewer
-            # sequential rounds and a lower final residual.
-            "stac.q_solver=gn",
+            # Throughput solver: analytic-Jacobian flat Levenberg-Marquardt
+            # (ops/gn_ik.py solve_batch) — same masked marker objective as
+            # the reference's 400-iteration projected gradient, ~30x fewer
+            # sequential rounds and a lower final residual. All frames'
+            # normal equations solve in one sweep through the Pallas
+            # batched-Cholesky kernel (ops/spd.py; ~10x over XLA's
+            # sequential batched cho_factor on v5e).
+            "stac.q_solver=gn-lm",
             # GN's full-q solve converges outright, so the per-part
             # refinement passes (which mop up PG's slow tail) are skipped:
             # ~5x throughput for ~0.1mm of residual. The reported

@@ -84,6 +84,7 @@ class StacConfig:
     q_solver: str = "pg"  # "pg" (parity) | "gn" (Gauss-Newton throughput)
     skip_part_opt: bool = False  # drop per-part refinement solves (gn mode)
     fk_impl: str = "scan"  # "scan" (O(depth)) | "jump" (pointer doubling)
+    spd_impl: str = "auto"  # GN normal-eq solve: "auto"|"pallas"|"xla"
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
 
 

@@ -45,6 +45,7 @@ from stac_mjx_tpu.models.kinematics import (
 )
 from stac_mjx_tpu.ops import quat as qm
 from stac_mjx_tpu.ops.solver import PGResult
+from stac_mjx_tpu.ops.spd import make_spd_solve
 
 
 def quat_exp(v: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +72,7 @@ class GNIK:
         max_bad_steps: int = 4,
         fk_impl: str = "scan",
         linesearch: bool = True,
+        spd_impl: str = "auto",
     ):
         """linesearch=False selects the flat LM schedule: exactly one
         FK/Jacobian/loss evaluation per iteration with accept/reject +
@@ -86,6 +88,7 @@ class GNIK:
         self.damping_dec = damping_dec
         self.max_bad_steps = max_bad_steps
         self.linesearch = linesearch
+        self.spd_solve = make_spd_solve(spd_impl)
         self.fk = (make_fk_jump if fk_impl == "jump" else make_fk)(topo)
 
         nq, njnt = topo.nq, topo.njnt
@@ -223,6 +226,94 @@ class GNIK:
         # J[(k,c), d] = d p_k_c / d delta_d
         return jnp.transpose(cols, (0, 2, 1)).reshape(-1, self.nv)
 
+    # ----------------------------------------------------- batched flat solve
+
+    def solve_batch(
+        self,
+        params: KinParams,
+        kp_data: jnp.ndarray,
+        qs_to_opt: jnp.ndarray,
+        kps_to_opt: jnp.ndarray,
+        q0: jnp.ndarray,
+        lb: jnp.ndarray,
+        ub: jnp.ndarray,
+    ) -> PGResult:
+        """Flat LM over a whole frame batch natively: q0/kp_data are (F, ·).
+
+        Identical math to the per-frame flat LM (``linesearch=False``) but
+        expressed batched so the normal-equation solve runs through the
+        batched SPD kernel (Pallas on TPU) instead of vmapping XLA's
+        sequential Cholesky — the lockstep throughput path.
+        """
+        dtype = q0.dtype
+        F = q0.shape[0]
+        big = jnp.asarray(1e10, dtype)
+        lb_c = jnp.clip(lb, -big, big)
+        ub_c = jnp.clip(ub, -big, big)
+        clip_mask = jnp.asarray(self.clip_mask)
+        kmask = kps_to_opt.astype(dtype)
+        dof_mask = (
+            jnp.asarray(self.v_from_q, dtype) @ qs_to_opt.astype(dtype) > 0
+        ).astype(dtype)
+        eye = jnp.eye(self.nv, dtype=dtype)
+
+        fk_b = jax.vmap(self.fk, in_axes=(None, 0))
+        jac_b = jax.vmap(self.jacobian)
+        retract_b = jax.vmap(self.retract)
+
+        def project(q):
+            return jnp.where(clip_mask, jnp.clip(q, lb_c, ub_c), q)
+
+        def err_of(fkres):
+            p = fkres.site_xpos[:, self.site_idxs].reshape(F, -1)
+            return (p - kp_data) * kmask
+
+        def body(k, state):
+            q, lam, f_x, fkres = state
+            e = err_of(fkres)
+            J = jac_b(fkres) * (kmask[None, :, None] * dof_mask[None, None, :])
+            A = jnp.einsum("frd,fre->fde", J, J) + lam[:, None, None] * eye
+            g = jnp.einsum("frd,fr->fd", J, e)
+            delta = -self.spd_solve(A, g) * dof_mask
+            q_new = project(retract_b(q, delta))
+            fk_new = fk_b(params, q_new)
+            e_new = err_of(fk_new)
+            f_new = jnp.sum(e_new * e_new, axis=-1)
+            ok = f_new < f_x
+            q = jnp.where(ok[:, None], q_new, q)
+            f_x = jnp.where(ok, f_new, f_x)
+            fkres = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    ok.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                fk_new,
+                fkres,
+            )
+            lam = jnp.where(ok, lam * self.damping_dec, lam * self.damping_inc)
+            return q, lam, f_x, fkres
+
+        q_start = project(q0)
+        fk0 = fk_b(params, q_start)
+        e0 = err_of(fk0)
+        q, lam, f_x, _ = jax.lax.fori_loop(
+            0,
+            self.maxiter,
+            body,
+            (
+                q_start,
+                jnp.full((F,), self.damping_init, dtype),
+                jnp.sum(e0 * e0, axis=-1),
+                fk0,
+            ),
+        )
+        return PGResult(
+            params=q,
+            error=jnp.sqrt(f_x),
+            value=f_x,
+            iters=jnp.full((F,), self.maxiter, jnp.int32),
+            stepsize=1.0 / (1.0 + lam),
+        )
+
     # ----------------------------------------------------------------- solve
 
     def solve(
@@ -255,40 +346,53 @@ class GNIK:
             e = (p - kp_data) * kmask
             return jnp.vdot(e, e)
 
-        def lm_step(q, lam, f_x):
-            """One damped step from q: returns (q_trial, f_trial)."""
-            fkres = self.fk(params, q)
-            p = fkres.site_xpos[self.site_idxs].reshape(-1)
-            e = (p - kp_data) * kmask
-            J = self.jacobian(fkres) * (kmask[:, None] * dof_mask[None, :])
-            A = J.T @ J + lam * eye
-            g = J.T @ e
-            L = jax.scipy.linalg.cho_factor(A, lower=True)
-            delta = -jax.scipy.linalg.cho_solve(L, g) * dof_mask
-            q_new = project(self.retract(q, delta))
-            return q_new, loss_of(q_new)
-
         if not self.linesearch:
             # Flat LM: fixed iteration count, one trial per iteration,
             # accept/reject + damping adaptation. All vmap lanes stay in
-            # lockstep (no nested data-dependent loop).
+            # lockstep (no nested data-dependent loop), and the FK of the
+            # current iterate rides the carry so each iteration pays exactly
+            # ONE FK: the trial point's FK serves both its loss evaluation
+            # and, when accepted, the next iteration's Jacobian.
+            def err_of(fkres):
+                p = fkres.site_xpos[self.site_idxs].reshape(-1)
+                return (p - kp_data) * kmask
+
             def body(k, state):
-                q, lam, f_x = state
-                q_new, f_new = lm_step(q, lam, f_x)
+                q, lam, f_x, fkres = state
+                e = err_of(fkres)
+                J = self.jacobian(fkres) * (kmask[:, None] * dof_mask[None, :])
+                A = J.T @ J + lam * eye
+                g = J.T @ e
+                L = jax.scipy.linalg.cho_factor(A, lower=True)
+                delta = -jax.scipy.linalg.cho_solve(L, g) * dof_mask
+                q_new = project(self.retract(q, delta))
+                fk_new = self.fk(params, q_new)
+                e_new = err_of(fk_new)
+                f_new = jnp.vdot(e_new, e_new)
                 ok = f_new < f_x
                 q = jnp.where(ok, q_new, q)
                 f_x = jnp.where(ok, f_new, f_x)
+                fkres = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), fk_new, fkres
+                )
                 lam = jnp.where(
                     ok, lam * self.damping_dec, lam * self.damping_inc
                 )
-                return q, lam, f_x
+                return q, lam, f_x, fkres
 
             q_start = project(q0)
-            q, lam, f_x = jax.lax.fori_loop(
+            fk0 = self.fk(params, q_start)
+            e0 = err_of(fk0)
+            q, lam, f_x, _ = jax.lax.fori_loop(
                 0,
                 self.maxiter,
                 body,
-                (q_start, jnp.asarray(self.damping_init, dtype), loss_of(q_start)),
+                (
+                    q_start,
+                    jnp.asarray(self.damping_init, dtype),
+                    jnp.vdot(e0, e0),
+                    fk0,
+                ),
             )
             return PGResult(
                 params=q,

@@ -52,13 +52,17 @@ class StacCore:
         n_iter_q: int = 400,
         q_solver: str = "pg",
         fk_impl: str = "scan",
+        spd_impl: str = "auto",
     ):
         """q_solver: "pg" (projected gradient, reference parity), "gn"
         (damped Gauss-Newton with backtracking linesearch, ~30x fewer
         sequential iterations), or "gn-lm" (flat Levenberg-Marquardt: fixed
         iteration count, no nested loop — best lockstep throughput).
         fk_impl: "scan" (level scan, O(depth) steps) or "jump"
-        (pointer doubling, O(log depth) steps — the TPU throughput FK)."""
+        (pointer doubling, O(log depth) steps — the TPU throughput FK).
+        spd_impl: normal-equation solve backend for the GN solvers —
+        "auto" (Pallas kernel on TPU, XLA elsewhere), "pallas",
+        "pallas-interpret", or "xla" (see stac_mjx_tpu/ops/spd.py)."""
         self.topo = topo
         self.site_idxs = np.asarray(site_idxs)
         self.site_body = topo.site_bodyid[self.site_idxs]
@@ -74,6 +78,7 @@ class StacCore:
                 tol=tol * tol,
                 fk_impl=fk_impl,
                 linesearch=(q_solver != "gn-lm"),
+                spd_impl=spd_impl,
             )
 
     # ------------------------------------------------------------------ q
@@ -125,6 +130,34 @@ class StacCore:
             return self.q_loss(q, params, kp_data, qs_to_opt, kps_to_opt, q0)
 
         return self.solver.run(fun, q0, lb, ub)
+
+    def q_opt_batch(
+        self,
+        params: KinParams,
+        kp_data: jnp.ndarray,
+        qs_to_opt: jnp.ndarray,
+        kps_to_opt: jnp.ndarray,
+        q0: jnp.ndarray,
+        lb: jnp.ndarray,
+        ub: jnp.ndarray,
+    ) -> PGResult:
+        """Pose solves over a whole frame batch: kp_data/q0 are (F, ·).
+
+        With a GN solver this runs the natively-batched flat LM (the Pallas
+        SPD kernel solves all frames' normal equations in one sweep); the
+        projected-gradient solver falls back to a vmap of the per-frame
+        solve. Masks are shared across frames, like the lockstep scheduler's
+        full-q and part passes.
+        """
+        if self.q_solver_kind == "gn":
+            return self.gnik.solve_batch(
+                params, kp_data, qs_to_opt, kps_to_opt, q0, lb, ub
+            )
+        return jax.vmap(
+            lambda kp_t, q0_t: self.q_opt(
+                params, kp_t, qs_to_opt, kps_to_opt, q0_t, lb, ub
+            )
+        )(kp_data, q0)
 
     # ------------------------------------------------------------------ m
 

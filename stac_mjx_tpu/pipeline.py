@@ -134,22 +134,30 @@ def pose_optimization(
     qs_all = jnp.ones_like(q_init, dtype=bool)
 
     if cfg.pose_mode == "lockstep":
-        def init_frame(kp_t):
-            q = q_init
-            if cfg.root_kp_idx >= 0 and cfg.do_root_opt:
-                root_xyz = jax.lax.dynamic_slice(
-                    kp_t, (3 * cfg.root_kp_idx,), (3,)
-                )
-                q = q.at[:3].set(root_xyz)
-            return q
-
-        def one(kp_t):
-            q0 = init_frame(kp_t)
-            return _solve_frame(
-                core, cfg, params, q0, kp_t, lb, ub, kps_to_opt, qs_all
+        F = kp_data.shape[0]
+        q0b = jnp.broadcast_to(q_init, (F, q_init.shape[0]))
+        if cfg.root_kp_idx >= 0 and cfg.do_root_opt:
+            root_xyz = jax.lax.dynamic_slice(
+                kp_data, (0, 3 * cfg.root_kp_idx), (F, 3)
             )
+            q0b = q0b.at[:, :3].set(root_xyz)
 
-        qposes, errors = jax.vmap(one)(kp_data)
+        # Full-q pass then statically-unrolled part passes, each over the
+        # whole batch at once (the Pallas SPD kernel solves every frame's
+        # normal equations in a single sweep; see _solve_frame for the
+        # per-frame parity semantics).
+        res = core.q_opt_batch(
+            params, kp_data, qs_all, kps_to_opt, q0b, lb, ub
+        )
+        qposes = res.params
+        errors = res.error
+        for part in cfg.indiv_parts:
+            part_mask = jnp.asarray(part)
+            res = core.q_opt_batch(
+                params, kp_data, part_mask, kps_to_opt, qposes, lb, ub
+            )
+            qposes = make_qs(qposes, part_mask, res.params)
+            errors = res.error
         q_last = qposes[-1]
     else:
         def step(q_carry, kp_t):

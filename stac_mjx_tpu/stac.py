@@ -123,6 +123,7 @@ class Stac:
             n_iter_q=int(cfg.model.N_ITER_Q),
             q_solver=cfg.stac.get("q_solver", "pg") or "pg",
             fk_impl=cfg.stac.get("fk_impl", "scan") or "scan",
+            spd_impl=cfg.stac.get("spd_impl", "auto") or "auto",
         )
         self._offsets = np.asarray(
             self.params.site_pos[jnp.asarray(self._body_site_idxs)]
