@@ -363,8 +363,7 @@ class GNIK:
                 J = self.jacobian(fkres) * (kmask[:, None] * dof_mask[None, :])
                 A = J.T @ J + lam * eye
                 g = J.T @ e
-                L = jax.scipy.linalg.cho_factor(A, lower=True)
-                delta = -jax.scipy.linalg.cho_solve(L, g) * dof_mask
+                delta = -self.spd_solve(A[None], g[None])[0] * dof_mask
                 q_new = project(self.retract(q, delta))
                 fk_new = self.fk(params, q_new)
                 e_new = err_of(fk_new)

@@ -217,7 +217,9 @@ class Stac:
             out = self._fit_fn(
                 self.params, kp_data, self._lb, self._ub, self._is_regularized
             )
-            out = jax.tree_util.tree_map(np.asarray, out)
+            # One batched D2H pull for the whole result pytree (per-array
+            # np.asarray pays the transfer-latency once per array).
+            out = jax.device_get(out)
 
         for i in range(self._static_cfg.n_iters):
             _, mean, std = self._get_error_stats(out["iter_frame_errors"][i])
@@ -279,20 +281,22 @@ class Stac:
         batched_kp = shard_clips(batched_kp)
         offsets = jnp.asarray(offsets, dtype=self.params.qpos0.dtype)
         with profiling.phase("ik_only"):
-            qposes, xposes, xquats, marker_sites, errors = self._ik_fn(
+            out = self._ik_fn(
                 self.params, batched_kp, offsets, self._lb, self._ub
             )
-            jax.block_until_ready(qposes)
+            # One batched D2H pull for all outputs (per-array np.asarray
+            # pays the transfer latency once per array).
+            qposes, xposes, xquats, marker_sites, errors = jax.device_get(out)
 
-        _, mean, std = self._get_error_stats(np.asarray(errors))
+        _, mean, std = self._get_error_stats(errors)
         print(f"ik_only: frame error mean {mean:.6g} std {std:.6g}")
 
         self._offsets = np.asarray(offsets)
         return self._package_data(
-            np.asarray(qposes),
-            np.asarray(xposes),
-            np.asarray(xquats),
-            np.asarray(marker_sites),
+            qposes,
+            xposes,
+            xquats,
+            marker_sites,
             np.asarray(batched_kp),
             batched=True,
         )
