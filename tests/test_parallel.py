@@ -111,3 +111,81 @@ def test_sharded_ik_matches_single_device():
     # secondary: solves actually track the ground truth (loose — 100 PG iters)
     err = np.abs(np.array(dense) - np.array(q_true))
     assert err.mean() < 0.05
+
+
+def test_ik_only_program_sharded_matches_replicated():
+    """The FULL ik_only program (root + lockstep pose) under clip sharding."""
+    from stac_mjx_tpu import pipeline
+    from stac_mjx_tpu.pipeline import StacConfigStatic
+
+    m = mujoco.MjModel.from_xml_string(CHAIN_XML)
+    topo, params = extract_model(m)
+    core = StacCore(topo, np.arange(2), tol=1e-10, n_iter_q=40, q_solver="gn-lm")
+    lb, ub = -3 * jnp.ones(2), 3 * jnp.ones(2)
+    cfg = StacConfigStatic(
+        n_iters=1,
+        n_sample_frames=2,
+        m_reg_coef=0.0,
+        root_kp_idx=-1,
+        root_dims=7,
+        do_root_opt=False,
+        indiv_parts=(),
+        trunk_kps=np.ones(2, bool),
+        pose_mode="lockstep",
+    )
+
+    rng = np.random.default_rng(2)
+    q_true = jnp.asarray(rng.uniform(-1, 1, (8, 4, 2)), jnp.float32)
+    kp = jax.vmap(
+        jax.vmap(lambda q: core.fk(params, q).site_xpos.reshape(-1))
+    )(q_true)
+    offsets = params.site_pos[jnp.asarray(core.site_idxs)]
+
+    fn = jax.jit(
+        lambda b: pipeline.ik_only_program(core, cfg, params, b, offsets, lb, ub)
+    )
+    dense = fn(kp)
+    sharded = fn(shard_clips(kp))
+    np.testing.assert_allclose(
+        np.array(dense[0]), np.array(sharded[0]), atol=1e-6
+    )
+    # the lockstep GN solves recover the ground-truth poses
+    np.testing.assert_allclose(np.array(dense[0]), np.array(q_true), atol=1e-3)
+
+
+def test_local_clip_range_and_global_assembly():
+    from stac_mjx_tpu.parallel.distributed import (
+        local_clip_range,
+        make_global_clips,
+        pod_mesh,
+    )
+
+    mesh = pod_mesh()
+    start, stop = local_clip_range(16, mesh)
+    assert (start, stop) == (0, 16)  # single process owns everything
+    with pytest.raises(ValueError, match="do not divide"):
+        local_clip_range(9, mesh)
+
+    data = np.arange(16 * 4 * 6, dtype=np.float32).reshape(16, 4, 6)
+    garr = make_global_clips(data[start:stop], mesh)
+    assert garr.shape == (16, 4, 6)
+    assert len(garr.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(garr), data)
+
+
+def test_psum_error_stats_matches_global():
+    from stac_mjx_tpu.parallel.distributed import psum_error_stats
+
+    rng = np.random.default_rng(3)
+    errs = jnp.asarray(rng.normal(2.0, 0.5, (8, 10)), jnp.float32)
+    mesh = clip_mesh(8)
+    fn = shard_map(
+        lambda e: psum_error_stats(e),
+        mesh=mesh,
+        in_specs=(P(CLIP_AXIS),),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    mean, std = jax.jit(fn)(errs)
+    np.testing.assert_allclose(float(mean), float(jnp.mean(errs)), rtol=1e-5)
+    np.testing.assert_allclose(float(std), float(jnp.std(errs)), rtol=1e-4)
