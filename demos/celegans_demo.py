@@ -22,7 +22,6 @@ import numpy as np
 
 import stac_mjx_tpu as stpu
 from stac_mjx_tpu.config import compose_config
-from stac_mjx_tpu.utils.assets import resolve_asset
 
 REPO = Path(__file__).resolve().parents[1]
 

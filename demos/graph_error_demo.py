@@ -24,8 +24,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[1]
 
 
-def recompute_errors(data_path, base_path=REPO) -> np.ndarray:
-    """Per-frame summed squared marker error, recomputed by FK."""
+def recompute_errors(data_path, base_path=REPO):
+    """(per-frame summed squared marker error recomputed by FK, StacData)."""
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +48,7 @@ def recompute_errors(data_path, base_path=REPO) -> np.ndarray:
 
     qposes = jnp.asarray(d.qpos, jnp.float32)
     kps = jnp.asarray(d.kp_data[: d.qpos.shape[0]], jnp.float32)
-    return np.asarray(jax.jit(jax.vmap(resid))(qposes, kps))
+    return np.asarray(jax.jit(jax.vmap(resid))(qposes, kps)), d
 
 
 def main() -> int:
@@ -60,15 +60,12 @@ def main() -> int:
     ap.add_argument("--no-plots", action="store_true")
     args = ap.parse_args()
 
-    errors = recompute_errors(args.data_path)
+    errors, d = recompute_errors(args.data_path)
     n = errors.shape[0]
     print(f"mean: {errors.mean()}, std: {errors.std()}")
     bad = np.where(errors > args.threshold)[0]
     print(f"there are {bad.shape[0]} not good offset frames (>{args.threshold})")
 
-    from stac_mjx_tpu import io
-
-    _, d = io.load_stac_data(args.data_path)
     qpos_diff_summed = np.abs(np.diff(d.qpos, axis=0)).sum(axis=1)
     seam = np.array([(i + 1) % args.clip_len <= 5 for i in range(n - 1)])
     if seam.any() and (~seam).any():

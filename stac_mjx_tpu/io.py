@@ -174,9 +174,14 @@ def load_csv(filename, kp_names: list | None = None):
     ]
     if missing:
         raise ValueError(f"CSV is missing keypoint columns: {missing}")
-    raw = np.asarray(rows, dtype=np.float64)
-    idx = [[col[f"{kp}{suf}"] for suf in ("_x", "_y", "_z")] for kp in kp_names]
-    data = raw[:, np.asarray(idx)]  # [F, K, xyz]
+    # Convert only the selected keypoint columns (real treadmill CSVs carry
+    # extra non-numeric columns — frame index, timestamps, labels).
+    flat_cols = [
+        col[f"{kp}{suf}"] for kp in kp_names for suf in ("_x", "_y", "_z")
+    ]
+    data = np.asarray(
+        [[row[c] for c in flat_cols] for row in rows], dtype=np.float64
+    ).reshape(len(rows), len(kp_names), 3)  # [F, K, xyz]
     return np.transpose(data, (0, 2, 1)), list(kp_names)
 
 

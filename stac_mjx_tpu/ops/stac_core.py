@@ -143,13 +143,14 @@ class StacCore:
     ) -> PGResult:
         """Pose solves over a whole frame batch: kp_data/q0 are (F, ·).
 
-        With a GN solver this runs the natively-batched flat LM (the Pallas
-        SPD kernel solves all frames' normal equations in one sweep); the
-        projected-gradient solver falls back to a vmap of the per-frame
-        solve. Masks are shared across frames, like the lockstep scheduler's
-        full-q and part passes.
+        With the flat-LM solver ("gn-lm") this runs the natively-batched
+        flat LM (the Pallas SPD kernel solves all frames' normal equations
+        in one sweep); the linesearch GN ("gn") and projected-gradient
+        solvers keep their own per-frame semantics under vmap. Masks are
+        shared across frames, like the lockstep scheduler's full-q and part
+        passes.
         """
-        if self.q_solver_kind == "gn":
+        if self.q_solver_kind == "gn" and not self.gnik.linesearch:
             return self.gnik.solve_batch(
                 params, kp_data, qs_to_opt, kps_to_opt, q0, lb, ub
             )

@@ -62,6 +62,13 @@ def local_clip_range(n_clips: int, mesh: Mesh | None = None) -> tuple[int, int]:
         return 0, 0
     order = {id(d): i for i, d in enumerate(mesh.devices.flat)}
     idxs = sorted(order[id(d)] for d in local)
+    if idxs != list(range(idxs[0], idxs[-1] + 1)):
+        raise ValueError(
+            "this host's devices are not contiguous in the mesh order; "
+            "build the mesh with per-process device blocks (e.g. "
+            "Mesh(np.array(jax.devices())) with default process-major "
+            "ordering) before using contiguous clip loading"
+        )
     return idxs[0] * per_dev, (idxs[-1] + 1) * per_dev
 
 
