@@ -1,16 +1,16 @@
-"""User-level pipeline driver: load configs, run fit + IK, save artifacts.
+"""Top-level pipeline driver: calibration fit, full-recording IK, artifacts.
 
-Parity surface of the reference's `stac_mjx/main.py`: the same validation
-(kp columns vs names, clip divisibility), the same phase-granular
-checkpointing (fit output h5 is the checkpoint; offsets are re-loaded from it
-before ik_only, main.py:111-113), the same skip flags, crossfade for
-continuous clips, and vmapped qvel inference.
+Behavior-compatible with the reference driver (stac_mjx/main.py:33-139) —
+same validation rules, same skip flags, same h5 artifacts, and the same
+phase-granular resume contract (the fit h5 is the checkpoint; IK always
+reads its offsets back from that file) — implemented as two small phase
+functions composed by ``run_stac``.
 """
 
 from __future__ import annotations
 
+import logging
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -23,106 +23,117 @@ from stac_mjx_tpu.utils import xla
 from stac_mjx_tpu.utils.batching import handle_edge_effects
 from stac_mjx_tpu.utils.velocity import compute_velocity_from_kinematics
 
+log = logging.getLogger(__name__)
+
 
 def load_configs(config_dir: Path | str, config_name: str = "config"):
-    """Load and validate configs from a config directory."""
+    """Compose and schema-validate the config tree rooted at ``config_dir``."""
     cfg = compose_config(config_dir, config_name=config_name)
-    print("Config loaded and validated.")
+    log.info("Composed config '%s' from %s", config_name, config_dir)
     return cfg
 
 
-def run_stac(cfg, kp_data, kp_names, base_path: Path | None = None):
-    """Run the full registration pipeline (fit_offsets then ik_only).
+def _require_kp_columns(kp_data, kp_names) -> None:
+    """kp_data must be (n_frames, 3 * len(kp_names)); raise otherwise.
 
-    Returns (fit_offsets output path, ik_only output path or None), matching
-    the reference run_stac (stac_mjx/main.py:33-139).
+    Same precondition the reference enforces (stac_mjx/main.py:60-67).
     """
-    if base_path is None:
-        base_path = Path.cwd()
-    base_path = Path(base_path)
-
-    expected_cols = len(kp_names) * 3
-    if kp_data.shape[1] != expected_cols:
+    want = 3 * len(kp_names)
+    got = kp_data.shape[1]
+    if got != want:
         raise ValueError(
-            f"kp_data has {kp_data.shape[1]} columns but expected "
-            f"{expected_cols} ({len(kp_names)} keypoints x 3). Ensure kp_data "
-            f"is shaped (n_frames, n_keypoints * 3) and that kp_names length "
-            f"matches the number of keypoints in kp_data."
+            f"keypoint array is (n_frames, {got}) but {len(kp_names)} names "
+            f"imply {want} columns; reshape to (n_frames, n_keypoints*3) or "
+            f"fix the keypoint-name list"
         )
 
-    xla.enable_xla_flags()
-    start_time = time.time()
 
-    fit_offsets_path = base_path / cfg.stac.fit_offsets_path
-    ik_only_path = base_path / cfg.stac.ik_only_path
-    xml_path = base_path / cfg.model.MJCF_PATH
-    if not xml_path.exists():
-        from stac_mjx_tpu.utils.assets import resolve_asset
+def _resolve_model_xml(cfg, base_path: Path) -> Path:
+    xml = base_path / cfg.model.MJCF_PATH
+    if xml.exists():
+        return xml
+    from stac_mjx_tpu.utils.assets import resolve_asset
 
-        xml_path = resolve_asset(cfg.model.MJCF_PATH, base_path)
+    return resolve_asset(cfg.model.MJCF_PATH, base_path)
 
-    stac = Stac(xml_path, cfg, kp_names)
 
-    compute_velocity_fn = partial(
-        compute_velocity_from_kinematics,
-        dt=float(stac._mj_model.opt.timestep),
-        freejoint=stac._freejoint,
-    )
-    vmap_compute_velocity_fn = jax.vmap(compute_velocity_fn)
+def fit_phase(stac: Stac, cfg, kp_data, out_path: Path) -> Path:
+    """Run the alternating calibration on the first n_fit_frames and save it."""
+    fit_slice = kp_data[: int(cfg.stac.n_fit_frames)]
+    log.info("fit_offsets on %s frames", fit_slice.shape[0])
+    result = stac.fit_offsets(fit_slice)
+    io.save_data_to_h5(config=cfg, file_path=out_path, **result.as_dict())
+    log.info("fit artifact written: %s", out_path)
+    return out_path
 
-    if not cfg.stac.skip_fit_offsets:
-        kps = kp_data[: int(cfg.stac.n_fit_frames)]
-        print(f"Running fit. Mocap data shape: {kps.shape}")
-        fit_offsets_data = stac.fit_offsets(kps)
-        print(f"saving data to {fit_offsets_path}", flush=True)
-        io.save_data_to_h5(
-            config=cfg, file_path=fit_offsets_path, **fit_offsets_data.as_dict()
-        )
-    else:
-        print(
-            "Skipping fit_offsets. To change this behavior, set "
-            "cfg.stac.skip_fit_offsets to False."
-        )
 
-    if cfg.stac.skip_ik_only:
-        print(
-            "Skipping IK-only phase. To change this behavior, set "
-            "cfg.stac.skip_ik_only to False."
-        )
-        return fit_offsets_path, None
-    elif kp_data.shape[0] % int(cfg.stac.n_frames_per_clip) != 0:
+def ik_phase(stac: Stac, cfg, kp_data, fit_path: Path, out_path: Path) -> Path:
+    """Full-recording IK with offsets restored from the fit artifact."""
+    clip_len = int(cfg.stac.n_frames_per_clip)
+    n_frames = kp_data.shape[0]
+    if n_frames % clip_len != 0:
         raise ValueError(
-            f"n_frames_per_clip ({cfg.stac.n_frames_per_clip}) must divide "
-            f"evenly with the total number of mocap frames({kp_data.shape[0]})"
+            f"cannot split {n_frames} frames into clips of {clip_len}: "
+            f"choose stac.n_frames_per_clip to divide the recording length"
         )
 
-    print("Running ik_only()")
-    # Phase-granular resume: offsets always come from the fit artifact.
-    cfg, fit_offsets_data = io.load_stac_data(fit_offsets_path)
-    offsets = fit_offsets_data.offsets
-
-    print(f"kp_data shape: {kp_data.shape}")
-    ik_only_data = stac.ik_only(kp_data, offsets)
+    # Resume contract: offsets come from the fit h5, never from memory —
+    # a run with skip_fit_offsets=true picks up a previous fit's artifact.
+    cfg, fit_data = io.load_stac_data(fit_path)
+    result = stac.ik_only(kp_data, fit_data.offsets)
 
     if cfg.stac.continuous:
-        print("Handling edge effects...")
-        ik_only_data = handle_edge_effects(
-            ik_only_data, int(cfg.stac.n_frames_per_clip)
-        )
+        log.info("crossfading clip overlaps (continuous recording)")
+        result = handle_edge_effects(result, clip_len)
 
-    batched_qpos = ik_only_data.qpos.reshape(
-        (-1, int(cfg.stac.n_frames_per_clip), ik_only_data.qpos.shape[-1])
-    )
-    print(f"Final qpos shape: {ik_only_data.qpos.shape}")
     if cfg.stac.infer_qvels:
-        t_vel = time.time()
-        qvels = vmap_compute_velocity_fn(batched_qpos)
-        ik_only_data.qvel = np.array(qvels).reshape(-1, *np.shape(qvels)[2:])
-        print(f"Finished compute velocity in {time.time() - t_vel} seconds")
+        t0 = time.time()
+        per_clip_qpos = result.qpos.reshape((-1, clip_len, result.qpos.shape[-1]))
+        qvels = jax.vmap(
+            lambda qs: compute_velocity_from_kinematics(
+                qs,
+                dt=float(stac._mj_model.opt.timestep),
+                freejoint=stac._freejoint,
+            )
+        )(per_clip_qpos)
+        result.qvel = np.asarray(qvels).reshape(-1, *np.shape(qvels)[2:])
+        log.info("qvel inference took %.2fs", time.time() - t0)
 
-    print(
-        f"Saving data to {ik_only_path}. Finished in "
-        f"{(time.time() - start_time) / 60:.2f} minutes"
-    )
-    io.save_data_to_h5(config=cfg, file_path=ik_only_path, **ik_only_data.as_dict())
-    return fit_offsets_path, ik_only_path
+    io.save_data_to_h5(config=cfg, file_path=out_path, **result.as_dict())
+    log.info("ik artifact written: %s", out_path)
+    return out_path
+
+
+def run_stac(cfg, kp_data, kp_names, base_path: Path | None = None):
+    """Run fit_offsets then ik_only per the config's skip flags.
+
+    Returns ``(fit_h5_path, ik_h5_path or None)`` — the reference driver's
+    contract (stac_mjx/main.py:33-139).
+    """
+    base_path = Path(base_path) if base_path is not None else Path.cwd()
+    _require_kp_columns(kp_data, kp_names)
+
+    xla.enable_xla_flags()
+    t_start = time.time()
+
+    fit_path = base_path / cfg.stac.fit_offsets_path
+    ik_path = base_path / cfg.stac.ik_only_path
+    stac = Stac(_resolve_model_xml(cfg, base_path), cfg, kp_names)
+
+    if cfg.stac.skip_fit_offsets:
+        log.info(
+            "fit_offsets skipped (stac.skip_fit_offsets=true); "
+            "expecting an existing fit artifact at %s",
+            fit_path,
+        )
+    else:
+        fit_phase(stac, cfg, kp_data, fit_path)
+
+    if cfg.stac.skip_ik_only:
+        log.info("ik_only skipped (stac.skip_ik_only=true)")
+        log.info("pipeline finished in %.2f min", (time.time() - t_start) / 60)
+        return fit_path, None
+
+    ik_phase(stac, cfg, kp_data, fit_path, ik_path)
+    log.info("pipeline finished in %.2f min", (time.time() - t_start) / 60)
+    return fit_path, ik_path

@@ -39,6 +39,35 @@ def _parse_pos(pos) -> list[float]:
     return [float(p) for p in pos]
 
 
+def _prune_missing_meshes(spec, model_dir: Path) -> None:
+    """Drop mesh assets whose files don't exist, plus geoms that use them.
+
+    Some upstream model trees ship MJCFs referencing meshes that were never
+    committed (e.g. the fruitfly's assets/head_body.obj); meshes are
+    visual-only for STAC, so pruning them preserves kinematics while letting
+    the spec compile.
+    """
+    meshdir = Path(spec.meshdir) if spec.meshdir else Path(".")
+    if not meshdir.is_absolute():
+        meshdir = model_dir / meshdir
+    missing = {
+        mesh.name
+        for mesh in spec.meshes
+        if mesh.file and not (meshdir / mesh.file).exists()
+    }
+    if not missing:
+        return
+    import mujoco
+
+    for body in spec.bodies:
+        for geom in list(body.geoms):
+            if geom.type == mujoco.mjtGeom.mjGEOM_MESH and geom.meshname in missing:
+                spec.delete(geom)
+    for mesh in list(spec.meshes):
+        if mesh.name in missing:
+            spec.delete(mesh)
+
+
 def build_body_spec(xml_path: str | Path, cfg_model) -> "object":
     """Fresh MjSpec with one site per keypoint attached to its mapped body.
 
@@ -49,6 +78,7 @@ def build_body_spec(xml_path: str | Path, cfg_model) -> "object":
     import mujoco
 
     spec = mujoco.MjSpec.from_file(str(xml_path))
+    _prune_missing_meshes(spec, Path(xml_path).parent)
     marker_size = float(cfg_model.MARKER_SIZE)
     for key, body_name in cfg_model.KEYPOINT_MODEL_PAIRS.items():
         parent = spec.body(body_name)
