@@ -171,6 +171,32 @@ def _set_dotted(cfg: dict, dotted: str, value):
     node[parts[-1]] = value
 
 
+def _has_dotted(cfg: dict, dotted: str) -> bool:
+    node = cfg
+    for p in dotted.split("."):
+        if not isinstance(node, dict) or p not in node:
+            return False
+        node = node[p]
+    return True
+
+
+def _schema_has(dotted: str) -> bool:
+    """Whether a dotted key names a field of the structured schema.
+
+    Descending into a free-form dict field (e.g. KEYPOINT_MODEL_PAIRS)
+    always counts as known — those subtrees are schemaless by design.
+    """
+    node = Config
+    nested = {"model": ModelConfig, "stac": StacConfig, "mujoco": MujocoConfig}
+    for part in dotted.split("."):
+        if not dataclasses.is_dataclass(node):
+            return True
+        if part not in _schema_fields(node):
+            return False
+        node = nested.get(part, dict)
+    return True
+
+
 def _load_yaml(path: Path) -> dict:
     with open(path) as f:
         data = yaml.safe_load(f)
@@ -263,7 +289,22 @@ def compose_config(
     for group, name in group_overrides.items():
         cfg = _merge(cfg, {group: _load_yaml(config_dir / group / f"{name}.yaml")})
 
-    for key, val, _add in kv_overrides:
+    for key, val, add in kv_overrides:
+        # Hydra-flavored +/plain semantics (relaxed for schema defaults:
+        # plain overrides of schema fields absent from the YAML files are
+        # allowed, since the dataclass defaults make them always-present
+        # conceptually). '+' on an existing key and plain on an unknown key
+        # are both rejected — that typo-catching is the point of the prefix.
+        present = _has_dotted(cfg, key)
+        if add and present:
+            raise ValueError(
+                f"override '+{key}': key already exists; drop the '+' prefix"
+            )
+        if not add and not present and not _schema_has(key):
+            raise ValueError(
+                f"override '{key}': unknown key (neither in the composed "
+                f"config nor the schema); to add a new key use '+{key}=...'"
+            )
         _set_dotted(cfg, key, val)
 
     problems = _validate_tree(cfg)

@@ -117,14 +117,16 @@ def quat_to_axisangle(quat: jnp.ndarray) -> jnp.ndarray:
     Batched, branchless equivalent of the reference's scalar
     ``quat_to_axisangle`` (stac_mjx/utils.py:276-299): angle = 2*acos(w)
     wrapped to (-pi, pi], axis from the vector part. Near-identity rotations
-    return zeros.
+    return zeros. Exactly-pi rotations keep angle = +pi — the reference
+    wraps only angle > pi strictly, so a modulo wrap (which sends pi to -pi)
+    would diverge from it at that edge.
     """
     w = jnp.clip(quat[..., 0], -1.0, 1.0)
     angle = 2.0 * jnp.arccos(w)
     small = angle < _TOL
     qn = jnp.sin(angle / 2.0)
     safe_qn = jnp.where(small, 1.0, qn)
-    wrapped = (angle + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+    wrapped = jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle)
     axis = quat[..., 1:4] / safe_qn[..., None]
     out = axis * wrapped[..., None]
     return jnp.where(small[..., None], jnp.zeros_like(out), out)

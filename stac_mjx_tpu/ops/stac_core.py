@@ -54,7 +54,10 @@ class StacCore:
         fk_impl: str = "scan",
         spd_impl: str = "auto",
     ):
-        """q_solver: "pg" (projected gradient, reference parity), "gn"
+        """q_solver: "pg" (projected gradient, robust f32 defaults),
+        "pg-jaxopt" (projected gradient locked to jaxopt 0.8.5
+        ProximalGradient iteration semantics — the reference-parity
+        numerics; see ops/solver.py), "gn"
         (damped Gauss-Newton with backtracking linesearch, ~30x fewer
         sequential iterations), or "gn-lm" (flat Levenberg-Marquardt: fixed
         iteration count, no nested loop — best lockstep throughput).
@@ -69,7 +72,9 @@ class StacCore:
         make = make_fk_jump if fk_impl == "jump" else make_fk
         self.fk = make(topo)
         self.q_solver_kind = "gn" if q_solver.startswith("gn") else q_solver
-        self.solver = ProjectedGradient(maxiter=n_iter_q, tol=tol)
+        self.solver = ProjectedGradient(
+            maxiter=n_iter_q, tol=tol, jaxopt_mode=(q_solver == "pg-jaxopt")
+        )
         if q_solver.startswith("gn"):
             self.gnik = GNIK(
                 topo,

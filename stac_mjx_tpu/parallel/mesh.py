@@ -12,6 +12,8 @@ Multi-host entry: `init_distributed()` wraps jax.distributed.initialize.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 import jax
@@ -52,6 +54,15 @@ def shard_clips(batched, mesh: Mesh | None = None):
         n_use = min(len(devices), n)
         while n_use > 1 and n % n_use != 0:
             n_use -= 1
+        if n_use < min(len(devices), n):
+            logging.getLogger(__name__).warning(
+                "shard_clips: %d clips do not divide over %d devices; "
+                "degrading to %d device(s). Pad the recording or pick "
+                "n_frames_per_clip so the clip count is divisible.",
+                n,
+                len(devices),
+                max(n_use, 1),
+            )
         if n_use <= 1:
             return batched
         mesh = clip_mesh(n_use)
