@@ -20,6 +20,8 @@ so the same driver script runs unchanged on one chip, a CPU mesh, or a pod.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 import jax
@@ -32,7 +34,10 @@ __all__ = [
     "pod_mesh",
     "local_clip_range",
     "make_global_clips",
+    "make_global_frames",
+    "fetch_arrays",
     "psum_error_stats",
+    "run_stac_distributed",
 ]
 
 
@@ -85,6 +90,161 @@ def make_global_clips(local_clips: np.ndarray, mesh: Mesh | None = None):
     if jax.process_count() == 1:
         return jax.device_put(local_clips, sharding)
     return jax.make_array_from_process_local_data(sharding, local_clips)
+
+
+def make_global_frames(local_frames: np.ndarray, mesh: Mesh | None = None):
+    """Assemble a frame-sharded global array from this host's frame block.
+
+    Same contract as make_global_clips but for a flat (n_frames, K*3)
+    recording slice — used by the sharded fit, where the shard axis is
+    frames rather than clips.
+    """
+    return make_global_clips(local_frames, mesh)
+
+
+def fetch_arrays(tree):
+    """Bring a pytree of jax Arrays to host numpy, pod-global safe.
+
+    Fully-addressable arrays ride one batched jax.device_get (single D2H
+    round trip — the tunnel-latency optimization); pod-global shards are
+    allgathered across processes first so every host returns the full
+    array.
+    """
+    import jax.numpy as jnp  # noqa: F401 (keep jax initialized lazily)
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    if all(
+        not isinstance(x, jax.Array) or x.is_fully_addressable for x in leaves
+    ):
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
+def _local_frame_count(n_total: int, n_dev: int, what: str) -> int:
+    usable = (n_total // n_dev) * n_dev
+    if usable == 0:
+        raise ValueError(
+            f"{n_total} {what} cannot shard over {n_dev} devices — need at "
+            f"least one per device"
+        )
+    if usable < n_total:
+        logging.getLogger(__name__).warning(
+            "truncating %s from %d to %d to divide over %d devices",
+            what,
+            n_total,
+            usable,
+            n_dev,
+        )
+    return usable
+
+
+def run_stac_distributed(cfg, base_path=None):
+    """Multi-host pipeline: the pod-scale twin of main.run_stac.
+
+    Launch one process per TPU host (cli --distributed calls
+    init_distributed first). Wiring (VERDICT r1 item 2):
+
+    - every host composes the same config, loads the recording, and builds
+      the same model;
+    - fit: the first n_fit_frames shard over ALL chips in the pod
+      (frame-axis shard_map; psum'd m-phase; pose_mode forced lockstep);
+    - ik: clips shard per local_clip_range — each host contributes only its
+      contiguous clip block to the global array (make_global_clips);
+    - results are allgathered so every host holds full outputs; process 0
+      writes the h5 artifacts (same schema as the single-host path).
+
+    The per-host *file read* is currently the whole recording (the slice
+    happens in host RAM); format-level partial reads are a follow-up
+    optimization, not a correctness requirement — device memory only ever
+    holds the local shard.
+    """
+    from pathlib import Path
+
+    from stac_mjx_tpu import io
+    from stac_mjx_tpu.stac import Stac
+    from stac_mjx_tpu.utils.assets import resolve_asset
+
+    base_path = Path(base_path) if base_path is not None else Path.cwd()
+    mesh = pod_mesh()
+    n_dev = int(mesh.devices.size)
+    proc0 = jax.process_index() == 0
+    log = logging.getLogger(__name__)
+
+    kp_data, kp_names = io.load_data(cfg, base_path=base_path)
+    kp_data = np.asarray(kp_data)
+    xml = base_path / cfg.model.MJCF_PATH
+    if not xml.exists():
+        xml = resolve_asset(cfg.model.MJCF_PATH, base_path)
+    stac = Stac(xml, cfg, kp_names)
+
+    fit_path = base_path / cfg.stac.fit_offsets_path
+    ik_path = base_path / cfg.stac.ik_only_path
+
+    offsets = None
+    if cfg.stac.skip_fit_offsets:
+        log.info("fit skipped; reading offsets from %s", fit_path)
+        _, fit_data = io.load_stac_data(fit_path)
+        offsets = fit_data.offsets
+    else:
+        n_fit = _local_frame_count(
+            min(int(cfg.stac.n_fit_frames), kp_data.shape[0]), n_dev,
+            "fit frames",
+        )
+        per_host = n_fit // jax.process_count()
+        lo = jax.process_index() * per_host
+        local = kp_data[lo : lo + per_host].astype(np.float32)
+        kp_global = make_global_frames(local, mesh)
+        fit_data = stac.fit_offsets_sharded(kp_global, mesh)
+        offsets = fit_data.offsets
+        if proc0:
+            io.save_data_to_h5(config=cfg, file_path=fit_path, **fit_data.as_dict())
+            log.info("fit artifact written: %s", fit_path)
+
+    if cfg.stac.skip_ik_only:
+        return fit_path, None
+
+    from stac_mjx_tpu.utils.batching import batch_kp_data, handle_edge_effects
+
+    clip_len = int(cfg.stac.n_frames_per_clip)
+    if kp_data.shape[0] % clip_len != 0:
+        raise ValueError(
+            f"cannot split {kp_data.shape[0]} frames into clips of {clip_len}"
+        )
+    batched = batch_kp_data(
+        kp_data, clip_len, continuous=bool(cfg.stac.continuous)
+    ).astype(np.float32)
+    n_clips = batched.shape[0]
+    lo, hi = local_clip_range(n_clips, mesh)
+    kp_global = make_global_clips(np.asarray(batched[lo:hi]), mesh)
+    ik_data = stac.ik_only_global(kp_global, offsets)
+
+    if cfg.stac.continuous:
+        ik_data = handle_edge_effects(ik_data, clip_len)
+
+    if cfg.stac.infer_qvels:
+        from stac_mjx_tpu.utils.velocity import compute_velocity_from_kinematics
+
+        per_clip_qpos = ik_data.qpos.reshape((-1, clip_len, ik_data.qpos.shape[-1]))
+        qvels = jax.vmap(
+            lambda qs: compute_velocity_from_kinematics(
+                qs,
+                dt=float(stac._mj_model.opt.timestep),
+                freejoint=stac._freejoint,
+            )
+        )(per_clip_qpos)
+        ik_data.qvel = np.asarray(qvels).reshape(-1, *np.shape(qvels)[2:])
+
+    if proc0:
+        io.save_data_to_h5(config=cfg, file_path=ik_path, **ik_data.as_dict())
+        log.info("ik artifact written: %s", ik_path)
+    return fit_path, ik_path
 
 
 def psum_error_stats(errors, axis_name: str = CLIP_AXIS):

@@ -128,7 +128,11 @@ def pose_optimization(
     TPU throughput path.
 
     Returns (q_final_carry, qposes (F,nq), xposes, xquats, marker_sites,
-    errors (F,)).
+    errors (F,)). ``errors`` is the per-frame mean marker Euclidean
+    distance in meters — a config-independent quality measure (the same
+    number whichever q_solver produced the poses), NOT the solver-native
+    convergence diagnostic (that stays inside PGResult; see
+    ops/solver.PGResult).
     """
     kps_to_opt = jnp.ones(kp_data.shape[1], dtype=kp_data.dtype)
     qs_all = jnp.ones_like(q_init, dtype=bool)
@@ -150,14 +154,12 @@ def pose_optimization(
             params, kp_data, qs_all, kps_to_opt, q0b, lb, ub
         )
         qposes = res.params
-        errors = res.error
         for part in cfg.indiv_parts:
             part_mask = jnp.asarray(part)
             res = core.q_opt_batch(
                 params, kp_data, part_mask, kps_to_opt, qposes, lb, ub
             )
             qposes = make_qs(qposes, part_mask, res.params)
-            errors = res.error
         q_last = qposes[-1]
     else:
         def step(q_carry, kp_t):
@@ -166,10 +168,13 @@ def pose_optimization(
             )
             return q, (q, err)
 
-        q_last, (qposes, errors) = jax.lax.scan(step, q_init, kp_data)
+        q_last, (qposes, _solver_errors) = jax.lax.scan(step, q_init, kp_data)
 
     fk_res = jax.vmap(core.fk, in_axes=(None, 0))(params, qposes)
     marker_sites = fk_res.site_xpos[:, core.site_idxs]
+    # Config-independent per-frame quality: mean marker distance (meters).
+    kp_xyz = kp_data.reshape(kp_data.shape[0], -1, 3)
+    errors = jnp.linalg.norm(kp_xyz - marker_sites, axis=-1).mean(axis=-1)
     return q_last, qposes, fk_res.xpos, fk_res.xquat, marker_sites, errors
 
 
@@ -185,6 +190,7 @@ def offset_optimization(
     qposes: jnp.ndarray,
     is_regularized: jnp.ndarray,
     axis_name: str | None = None,
+    n_shards: int = 1,
 ):
     """Sample frames, closed-form m-solve, write offsets into the model.
 
@@ -192,10 +198,27 @@ def offset_optimization(
     permutation sampling. The regularization target is the *previous*
     iteration's offsets, exactly as the reference threads self._offsets
     (stac_mjx/stac.py:317-328).
+
+    Sharded path (``axis_name`` + ``n_shards > 1``, called from inside
+    shard_map): each shard samples ceil(n_sample / n_shards) of ITS local
+    frames with a shard-folded key, and the m-solve's frame statistics
+    psum over the axis. This deliberately differs from the single-program
+    global PRNGKey(0) permutation (which cannot be reproduced shard-locally
+    without a global gather); the m-phase is a mean estimator, so the
+    estimate is equally valid — documented divergence, distributed mode
+    only.
     """
     n_frames = kp_data.shape[0]
-    n_sample = min(cfg.n_sample_frames, n_frames)
-    key = jax.random.PRNGKey(0)
+    if axis_name is not None and n_shards > 1:
+        n_sample = min(-(-cfg.n_sample_frames // n_shards), n_frames)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0), jax.lax.axis_index(axis_name)
+        )
+        n_total = n_sample * n_shards
+    else:
+        n_sample = min(cfg.n_sample_frames, n_frames)
+        key = jax.random.PRNGKey(0)
+        n_total = None
     shuffled = jax.random.permutation(
         key, jnp.arange(n_frames), independent=True
     )
@@ -211,6 +234,7 @@ def offset_optimization(
         offsets_prev,
         is_regularized,
         cfg.m_reg_coef,
+        n_frames_total=n_total,
         axis_name=axis_name,
     )
     new_params = params.set_site_pos(res.params, jnp.asarray(core.site_idxs))
@@ -278,6 +302,123 @@ def fit_offsets_program(
             else jnp.zeros((0,), kp_data.dtype)
         ),
     }
+
+
+def fit_offsets_sharded(
+    core: StacCore,
+    cfg: StacConfigStatic,
+    mesh,
+    axis_name: str,
+):
+    """Build the frame-sharded fit program: shard_map over ``axis_name``.
+
+    The q-phase (lockstep pose solves) runs embarrassingly parallel on each
+    shard's frames; the m-phase reduces its closed-form statistics with psum
+    (SURVEY.md §5.8 — the layer the reference lacks). Root optimization runs
+    per shard on the shard's first frame (a local warm start; the
+    single-program path warm-starts every frame from global frame 0's root
+    solve instead — documented divergence of the distributed mode).
+
+    Returns a callable (params, kp_global, lb, ub, is_regularized) -> dict
+    with the same output schema as fit_offsets_program; wrap it in jax.jit.
+    kp_global must be sharded (n_shards * F_local, K*3) over ``axis_name``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    if cfg.pose_mode != "lockstep":
+        raise ValueError(
+            "fit_offsets_sharded requires pose_mode=lockstep: the "
+            "sequential warm-start chain is a cross-frame dependency that "
+            "cannot shard over frames"
+        )
+    n_shards = int(np.prod(mesh.devices.shape))
+
+    def shard_body(params, kp_local, lb, ub, is_regularized):
+        q = params.qpos0
+        offsets = params.site_pos[jnp.asarray(core.site_idxs)]
+
+        if cfg.do_root_opt and cfg.root_kp_idx >= 0:
+            q = root_optimization(core, cfg, params, kp_local[0], q, lb, ub)
+
+        iter_errors = []
+        for _ in range(cfg.n_iters):
+            q, qposes, _, _, _, errors = pose_optimization(
+                core, cfg, params, kp_local, q, lb, ub
+            )
+            params, offsets, m_err = offset_optimization(
+                core,
+                cfg,
+                params,
+                kp_local,
+                offsets,
+                qposes,
+                is_regularized,
+                axis_name=axis_name,
+                n_shards=n_shards,
+            )
+            iter_errors.append((errors, m_err))
+
+        q, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
+            core, cfg, params, kp_local, q, lb, ub
+        )
+        iter_frame = (
+            jnp.stack([fe for fe, _ in iter_errors])
+            if iter_errors
+            else jnp.zeros((0, kp_local.shape[0]), kp_local.dtype)
+        )
+        iter_m = (
+            jnp.stack([me for _, me in iter_errors])
+            if iter_errors
+            else jnp.zeros((0,), kp_local.dtype)
+        )
+        return (
+            qposes,
+            xposes,
+            xquats,
+            marker_sites,
+            offsets,
+            errors,
+            iter_frame,
+            iter_m,
+        )
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(), P(), P()),
+        out_specs=(
+            P(axis_name),  # qposes
+            P(axis_name),  # xposes
+            P(axis_name),  # xquats
+            P(axis_name),  # marker_sites
+            P(),  # offsets (psum'd -> replicated)
+            P(axis_name),  # per-frame errors
+            P(None, axis_name),  # per-iter frame errors
+            P(),  # per-iter m errors (replicated)
+        ),
+        check_vma=False,
+    )
+
+    def run(params, kp_global, lb, ub, is_regularized):
+        out = sharded(params, kp_global, lb, ub, is_regularized)
+        keys = (
+            "qpos",
+            "xpos",
+            "xquat",
+            "marker_sites",
+            "offsets",
+            "frame_error",
+            "iter_frame_errors",
+            "iter_m_errors",
+        )
+        return dict(zip(keys, out))
+
+    return run
 
 
 def ik_only_program(

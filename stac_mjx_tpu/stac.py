@@ -11,6 +11,7 @@ XLA program; ik_only shards clips across the device mesh.
 
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
 
 import jax
@@ -225,11 +226,11 @@ class Stac:
             _, mean, std = self._get_error_stats(out["iter_frame_errors"][i])
             print(
                 f"Calibration iteration {i + 1}/{self._static_cfg.n_iters}: "
-                f"frame error mean {mean:.6g} std {std:.6g}; "
+                f"mean marker error {mean:.6g} m (std {std:.6g}); "
                 f"m-phase residual {out['iter_m_errors'][i]:.6g}"
             )
         _, mean, std = self._get_error_stats(out["frame_error"])
-        print(f"Final pose optimization: mean {mean:.6g} std {std:.6g}")
+        print(f"Final pose optimization: mean marker error {mean:.6g} m (std {std:.6g})")
 
         self._offsets = out["offsets"]
         return self._package_data(
@@ -278,6 +279,11 @@ class Stac:
                 "root, skipping root_optimization()"
             )
 
+        # Host copy for packaging BEFORE device placement: a pod-global
+        # sharded array is not fully addressable, so np.asarray on it would
+        # fail (VERDICT r1 §2.3) — and this avoids a pointless D2H re-fetch
+        # of input data in the single-host case too.
+        kp_host = np.asarray(batched_kp)
         batched_kp = shard_clips(batched_kp)
         offsets = jnp.asarray(offsets, dtype=self.params.qpos0.dtype)
         with profiling.phase("ik_only"):
@@ -289,7 +295,9 @@ class Stac:
             qposes, xposes, xquats, marker_sites, errors = jax.device_get(out)
 
         _, mean, std = self._get_error_stats(errors)
-        print(f"ik_only: frame error mean {mean:.6g} std {std:.6g}")
+        # Mean marker distance in meters — solver-independent (see
+        # pipeline.pose_optimization); identical meaning for pg/gn/gn-lm.
+        print(f"ik_only: mean marker error {mean:.6g} m (std {std:.6g})")
 
         self._offsets = np.asarray(offsets)
         return self._package_data(
@@ -297,7 +305,89 @@ class Stac:
             xposes,
             xquats,
             marker_sites,
-            np.asarray(batched_kp),
+            kp_host,
+            batched=True,
+        )
+
+    # ------------------------------------------------------- distributed
+
+    def fit_offsets_sharded(self, kp_global, mesh) -> io.StacData:
+        """Frame-sharded fit over a device mesh (multi-host capable).
+
+        kp_global: (F, K*3) jax.Array sharded over the mesh's clip axis
+        (see parallel.distributed.make_global_frames); F must divide the
+        device count. The q-phase runs shard-local, the m-phase psums its
+        closed-form statistics (SURVEY.md §5.8). Requires
+        pose_mode=lockstep.
+        """
+        from stac_mjx_tpu.parallel.distributed import fetch_arrays
+        from stac_mjx_tpu.parallel.mesh import CLIP_AXIS
+
+        cfg = dataclasses.replace(self._static_cfg, pose_mode="lockstep")
+        run = pipeline.fit_offsets_sharded(
+            self.stac_core_obj, cfg, mesh, CLIP_AXIS
+        )
+        with profiling.phase("fit_offsets_sharded"):
+            out = jax.jit(run)(
+                self.params,
+                kp_global,
+                self._lb,
+                self._ub,
+                self._is_regularized,
+            )
+            out = fetch_arrays(out)
+
+        _, mean, std = self._get_error_stats(out["frame_error"])
+        print(
+            f"fit_offsets (sharded over {mesh.devices.size} devices): "
+            f"mean marker error {mean:.6g} m (std {std:.6g})"
+        )
+        self._offsets = out["offsets"]
+        return self._package_data(
+            out["qpos"],
+            out["xpos"],
+            out["xquat"],
+            out["marker_sites"],
+            fetch_arrays(kp_global),
+        )
+
+    def ik_only_global(self, kp_global_clips, offsets) -> io.StacData:
+        """Batched IK over an already-assembled global clip-sharded array.
+
+        Multi-host twin of ik_only: the caller builds the global array with
+        parallel.distributed.make_global_clips (each host contributes only
+        its clip block); outputs are allgathered so every host returns the
+        full StacData.
+        """
+        from stac_mjx_tpu.parallel.distributed import fetch_arrays
+
+        if self._ik_fn is None:
+            core, cfg = self.stac_core_obj, self._static_cfg
+
+            def ik(params, batched_kp, offs, lb, ub):
+                return pipeline.ik_only_program(
+                    core, cfg, params, batched_kp, offs, lb, ub
+                )
+
+            self._ik_fn = jax.jit(ik)
+
+        offsets = jnp.asarray(offsets, dtype=self.params.qpos0.dtype)
+        with profiling.phase("ik_only_global"):
+            out = self._ik_fn(
+                self.params, kp_global_clips, offsets, self._lb, self._ub
+            )
+            qposes, xposes, xquats, marker_sites, errors = fetch_arrays(out)
+
+        _, mean, std = self._get_error_stats(errors)
+        print(f"ik_only: mean marker error {mean:.6g} m (std {std:.6g})")
+
+        self._offsets = np.asarray(offsets)
+        return self._package_data(
+            qposes,
+            xposes,
+            xquats,
+            marker_sites,
+            fetch_arrays(kp_global_clips),
             batched=True,
         )
 

@@ -1,0 +1,234 @@
+"""Sharded fit pipeline tests on the 8-virtual-device CPU mesh.
+
+VERDICT r1 item 2: the fit m-phase must actually shard (psum'd closed-form
+statistics under shard_map), not just the ik clip axis. These tests pin:
+
+- sharded fit == unsharded lockstep fit when the sampling divergence is
+  neutralized (every shard uses all its frames, no root opt);
+- offset recovery through the sharded m-phase on synthetic data;
+- the documented sequential-mode rejection and sub-budget sampling path.
+
+The real 2-process cluster version of the same workload lives in
+tests/test_multiprocess.py.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stac_mjx_tpu import pipeline
+from stac_mjx_tpu.parallel.mesh import CLIP_AXIS, clip_mesh
+from tests._dist_common import N_SITES, TRUE_SHIFT, build_workload
+
+F = 16  # frames; divides the 8-device mesh
+
+
+@pytest.fixture(scope="module")
+def workload():
+    return build_workload(F)
+
+
+def _shard(kp, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(jnp.asarray(kp), NamedSharding(mesh, P(CLIP_AXIS)))
+
+
+def test_sharded_fit_matches_unsharded(workload):
+    core, cfg, params, kp, lb, ub, is_reg = workload
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = clip_mesh(8)
+
+    single = jax.device_get(
+        jax.jit(
+            lambda p, k: pipeline.fit_offsets_program(
+                core, cfg, p, k, lb, ub, is_reg
+            )
+        )(params, jnp.asarray(kp))
+    )
+
+    run = pipeline.fit_offsets_sharded(core, cfg, mesh, CLIP_AXIS)
+    sharded = jax.device_get(
+        jax.jit(run)(params, _shard(kp, mesh), lb, ub, is_reg)
+    )
+
+    np.testing.assert_allclose(sharded["offsets"], single["offsets"], atol=2e-6)
+    # qpos tolerance is loose on purpose: the free-joint quaternion is
+    # box-clipped and unnormalized (reference quirk), so q-space has a flat
+    # gauge direction per frame — fp noise from different batch shapes
+    # wanders along it without changing the pose. The physically meaningful
+    # quantities (offsets, marker errors) are tight.
+    np.testing.assert_allclose(sharded["qpos"], single["qpos"], atol=2e-3)
+    np.testing.assert_allclose(
+        sharded["frame_error"], single["frame_error"], atol=1e-5
+    )
+
+
+def test_sharded_fit_recovers_true_offsets(workload):
+    """Exact offset recovery through the sharded program: the pose is pinned
+    to truth by a zero-width box (lb == ub == q_true), so the psum'd m-phase
+    must return exactly site_pos + TRUE_SHIFT — a tight end-to-end check of
+    the sharded closed-form solve (full alternation convergence is a slow
+    algorithm property, tested separately on the real workloads)."""
+    core, cfg, params, _, _, _, is_reg = workload
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = clip_mesh(8)
+
+    # PG projects EVERY qpos dim onto the box (reference semantics), so the
+    # zero-width box truly pins the pose; the GN solvers keep quaternions on
+    # the manifold via retraction and cannot be pinned this way.
+    from stac_mjx_tpu.ops.stac_core import StacCore
+
+    core = StacCore(
+        core.topo, np.arange(N_SITES), tol=1e-8, n_iter_q=8, q_solver="pg"
+    )
+
+    q_true = np.asarray(params.qpos0, np.float32).copy()
+    q_true[7] += 0.35
+    q_true[8] -= 0.45
+    shifted = params.set_site_pos(
+        params.site_pos[np.arange(N_SITES)] + TRUE_SHIFT, jnp.arange(N_SITES)
+    )
+    kp_one = np.asarray(
+        core.fk(shifted, jnp.asarray(q_true)).site_xpos[np.arange(N_SITES)]
+    ).reshape(-1)
+    kp = np.tile(kp_one, (F, 1))
+    pin = jnp.asarray(q_true)
+
+    import dataclasses as _dc
+
+    run = pipeline.fit_offsets_sharded(
+        core, _dc.replace(cfg, n_iters=1), mesh, CLIP_AXIS
+    )
+    out = jax.device_get(jax.jit(run)(params, _shard(kp, mesh), pin, pin, is_reg))
+    want = np.asarray(params.site_pos[np.arange(N_SITES)], np.float32) + TRUE_SHIFT
+    np.testing.assert_allclose(out["offsets"], want, atol=1e-5)
+    assert float(np.mean(out["frame_error"])) < 1e-5
+
+
+def test_m_phase_psum_matches_single(workload):
+    """Isolated m-phase equivalence: shard_map+psum == single-program solve
+    on identical fixed poses (no alternation amplification in the way)."""
+    core, cfg, params, kp, lb, ub, is_reg = workload
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = clip_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    rng = np.random.default_rng(11)
+    qposes = np.tile(np.asarray(params.qpos0, np.float32), (F, 1))
+    qposes[:, 7:] += 0.2 * rng.normal(size=(F, qposes.shape[1] - 7)).astype(
+        np.float32
+    )
+    offsets0 = params.site_pos[np.arange(N_SITES)]
+
+    single = jax.jit(
+        lambda k, q: core.m_opt(params, k, q, offsets0, is_reg, 0.0)
+    )(jnp.asarray(kp), jnp.asarray(qposes))
+
+    def shard_body(k, q):
+        res = core.m_opt(
+            params,
+            k,
+            q,
+            offsets0,
+            is_reg,
+            0.0,
+            axis_name=CLIP_AXIS,
+        )
+        return res.params, res.error
+
+    sharded_fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(CLIP_AXIS), P(CLIP_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    m_sharded, err_sharded = jax.jit(sharded_fn)(
+        jnp.asarray(kp), jnp.asarray(qposes)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_sharded), np.asarray(single.params), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(err_sharded), float(single.error), rtol=1e-4, atol=1e-7
+    )
+
+
+def test_sharded_fit_rejects_sequential_mode(workload):
+    core, cfg, params, kp, lb, ub, is_reg = workload
+    mesh = clip_mesh(min(8, len(jax.devices())))
+    seq_cfg = dataclasses.replace(cfg, pose_mode="sequential")
+    with pytest.raises(ValueError, match="lockstep"):
+        pipeline.fit_offsets_sharded(core, seq_cfg, mesh, CLIP_AXIS)
+
+
+def test_run_stac_distributed_single_process(tmp_path):
+    """Driver-level wiring: run_stac_distributed end-to-end on the synth
+    pendulum (single process, 8-device pod mesh) — config composition,
+    per-host clip slicing, sharded fit, clip-sharded ik, artifacts."""
+    import h5py
+
+    from stac_mjx_tpu import io
+    from stac_mjx_tpu.config import compose_config
+    from stac_mjx_tpu.parallel.distributed import run_stac_distributed
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+
+    # Synthesize a 32-frame single-keypoint recording for the pendulum.
+    rng = np.random.default_rng(5)
+    tracks = (0.05 * rng.normal(size=(32, 1, 1, 3))).astype(np.float64)
+    data_path = tmp_path / "synth32.h5"
+    with h5py.File(data_path, "w") as f:
+        f.create_dataset("tracks", data=tracks)
+
+    cfg = compose_config(
+        "/root/repo/configs",
+        overrides=[
+            "stac=stac_synth_data",
+            "model=synth_data",
+            f"stac.data_path={data_path}",
+            "stac.n_fit_frames=16",
+            "stac.n_frames_per_clip=4",
+            "stac.skip_ik_only=false",
+            "stac.q_solver=gn-lm",
+            "stac.pose_mode=lockstep",
+            f"stac.fit_offsets_path={tmp_path / 'fit.h5'}",
+            f"stac.ik_only_path={tmp_path / 'ik.h5'}",
+        ],
+    )
+    fit_path, ik_path = run_stac_distributed(cfg, base_path="/root/repo")
+    assert fit_path.exists() and ik_path.exists()
+    _, fit_data = io.load_stac_data(fit_path)
+    _, ik_data = io.load_stac_data(ik_path)
+    assert fit_data.qpos.shape[0] == 16
+    assert ik_data.qpos.shape[0] == 32
+    assert np.isfinite(fit_data.offsets).all()
+    assert np.isfinite(ik_data.qpos).all()
+
+
+def test_sharded_sampling_covers_budget(workload):
+    """With n_sample < F each shard samples ceil(n_sample/n_shards) local
+    frames (documented divergence) and the psum'd solve stays finite."""
+    core, cfg, params, kp, lb, ub, is_reg = workload
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = clip_mesh(8)
+
+    small = dataclasses.replace(cfg, n_sample_frames=4)
+    run = pipeline.fit_offsets_sharded(core, small, mesh, CLIP_AXIS)
+    out = jax.device_get(jax.jit(run)(params, _shard(kp, mesh), lb, ub, is_reg))
+    assert np.isfinite(out["offsets"]).all()
+    assert np.isfinite(out["iter_m_errors"]).all()
