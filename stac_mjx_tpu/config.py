@@ -81,11 +81,18 @@ class StacConfig:
     mujoco: MujocoConfig = field(default_factory=MujocoConfig)
     # TPU-native extensions (absent keys default; reference files still load):
     pose_mode: str = "sequential"  # "sequential" (parity) | "lockstep"
-    q_solver: str = "pg"  # "pg" (parity) | "gn" (Gauss-Newton throughput)
+    # "pg" (robust f32) | "pg-jaxopt" (jaxopt-0.8.5-exact, parity goldens)
+    # | "gn" (GN + linesearch) | "gn-lm" (flat LM, lockstep throughput)
+    q_solver: str = "pg"
     skip_part_opt: bool = False  # drop per-part refinement solves (gn mode)
     fk_impl: str = "scan"  # "scan" (O(depth)) | "jump" (pointer doubling)
     spd_impl: str = "auto"  # GN normal-eq solve: "auto"|"pallas"|"xla"
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
+    # ik_only result payload: True returns/transfers qpos+xpos+xquat+markers
+    # (the reference's full h5 schema); False returns qpos+errors only —
+    # ~6x less D2H traffic on tunnel-attached chips; derive the rest on
+    # demand with Stac.compute_full_outputs(qpos).
+    ik_return_full: bool = True
 
 
 @dataclass

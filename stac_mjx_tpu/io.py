@@ -75,21 +75,23 @@ def load_data(cfg, base_path: Path | None = None):
         )
     else:
         raise ValueError(
-            "Unsupported file extension. Please provide a .mat, .nwb, .h5, "
-            "or .csv file."
+            f"cannot load '{file_path.suffix}' mocap data — supported "
+            f"formats: .mat (DANNCE), .nwb, .h5, .csv"
         )
 
     kp_names = kp_names or cfg.model.get("KP_NAMES", None)
     if kp_names is None:
         raise ValueError(
-            "Keypoint names not provided. Please provide an ordered list of "
-            "keypoint names corresponding to the keypoint data order."
+            "no keypoint names available: the data file carries none and "
+            "the model config has no KP_NAMES — set cfg.model.KP_NAMES to "
+            "the ordered name list matching the data columns"
         )
 
     if len(kp_names) != data.shape[2]:
         raise ValueError(
-            f"Number of keypoint names ({len(kp_names)}) is not the same as "
-            f"the number of keypoints in data ({data.shape[2]})"
+            f"{len(kp_names)} keypoint names vs {data.shape[2]} keypoints "
+            f"in the data — the name list must match the data's keypoint "
+            f"axis exactly"
         )
 
     model_inds = [

@@ -429,6 +429,7 @@ def ik_only_program(
     offsets: jnp.ndarray,
     lb: jnp.ndarray,
     ub: jnp.ndarray,
+    return_full: bool = True,
 ):
     """Batched IK over clips with frozen offsets, as one program.
 
@@ -437,6 +438,12 @@ def ik_only_program(
     over the leading axis. Because clips are independent, sharding
     `batched_kp` over a device mesh parallelizes this with zero collectives
     (the TPU distribution layer; SURVEY.md §2.3/§5.8).
+
+    return_full=False returns only (qposes, errors): on tunnel-attached
+    chips the D2H transfer of xpos/xquat/marker_sites dominates end-to-end
+    time (~6x the qpos bytes on the rodent), and XLA dead-code-eliminates
+    what isn't fetched. Derive the full outputs later from qpos via one
+    batched FK (Stac.compute_full_outputs).
     """
     params = params.set_site_pos(offsets, jnp.asarray(core.site_idxs))
 
@@ -447,6 +454,8 @@ def ik_only_program(
         _, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
             core, cfg, params, kp_clip, q, lb, ub
         )
+        if not return_full:
+            return qposes, errors
         return qposes, xposes, xquats, marker_sites, errors
 
     return jax.vmap(per_clip)(batched_kp)

@@ -148,7 +148,8 @@ class Stac:
             pose_mode=pose_mode,
         )
         self._fit_fn = None
-        self._ik_fn = None
+        self._ik_fns = {}
+        self._full_fn = None
 
     # ------------------------------------------------------------- masks
 
@@ -243,30 +244,42 @@ class Stac:
 
     # ---------------------------------------------------------------- ik
 
-    def ik_only(self, kp_data, offsets) -> io.StacData:
+    def _get_ik_fn(self, return_full: bool):
+        fn = self._ik_fns.get(return_full)
+        if fn is None:
+            core, cfg = self.stac_core_obj, self._static_cfg
+
+            def ik(params, batched_kp, offs, lb, ub):
+                return pipeline.ik_only_program(
+                    core, cfg, params, batched_kp, offs, lb, ub,
+                    return_full=return_full,
+                )
+
+            fn = self._ik_fns[return_full] = jax.jit(ik)
+        return fn
+
+    def ik_only(self, kp_data, offsets, return_full=None) -> io.StacData:
         """Batched IK with frozen offsets; clips shard over devices.
 
         Parity surface of stac_mjx/stac.py:356-454; internally one jitted
         program with the clip axis sharded over the mesh when more than one
         device is available (see stac_mjx_tpu/parallel/mesh.py).
+
+        return_full=False (or stac.ik_return_full=false) transfers only
+        qpos + per-frame errors off the device — the xpos/xquat/marker_sites
+        D2H traffic dominates end-to-end time on tunnel-attached chips; use
+        compute_full_outputs(qpos) to derive them when needed.
         """
         from stac_mjx_tpu.parallel.mesh import shard_clips
+
+        if return_full is None:
+            return_full = bool(self.cfg.stac.get("ik_return_full", True))
 
         batched_kp = batch_kp_data(
             kp_data,
             int(self.cfg.stac.n_frames_per_clip),
             continuous=bool(self.cfg.stac.continuous),
         ).astype(self.params.qpos0.dtype)
-
-        if self._ik_fn is None:
-            core, cfg = self.stac_core_obj, self._static_cfg
-
-            def ik(params, batched_kp, offs, lb, ub):
-                return pipeline.ik_only_program(
-                    core, cfg, params, batched_kp, offs, lb, ub
-                )
-
-            self._ik_fn = jax.jit(ik)
 
         if self._root_kp_idx == -1:
             print(
@@ -286,13 +299,18 @@ class Stac:
         kp_host = np.asarray(batched_kp)
         batched_kp = shard_clips(batched_kp)
         offsets = jnp.asarray(offsets, dtype=self.params.qpos0.dtype)
+        ik_fn = self._get_ik_fn(return_full)
         with profiling.phase("ik_only"):
-            out = self._ik_fn(
-                self.params, batched_kp, offsets, self._lb, self._ub
-            )
+            out = ik_fn(self.params, batched_kp, offsets, self._lb, self._ub)
             # One batched D2H pull for all outputs (per-array np.asarray
             # pays the transfer latency once per array).
-            qposes, xposes, xquats, marker_sites, errors = jax.device_get(out)
+            if return_full:
+                qposes, xposes, xquats, marker_sites, errors = jax.device_get(
+                    out
+                )
+            else:
+                qposes, errors = jax.device_get(out)
+                xposes = xquats = marker_sites = None
 
         _, mean, std = self._get_error_stats(errors)
         # Mean marker distance in meters — solver-independent (see
@@ -361,19 +379,10 @@ class Stac:
         """
         from stac_mjx_tpu.parallel.distributed import fetch_arrays
 
-        if self._ik_fn is None:
-            core, cfg = self.stac_core_obj, self._static_cfg
-
-            def ik(params, batched_kp, offs, lb, ub):
-                return pipeline.ik_only_program(
-                    core, cfg, params, batched_kp, offs, lb, ub
-                )
-
-            self._ik_fn = jax.jit(ik)
-
+        ik_fn = self._get_ik_fn(return_full=True)
         offsets = jnp.asarray(offsets, dtype=self.params.qpos0.dtype)
         with profiling.phase("ik_only_global"):
-            out = self._ik_fn(
+            out = ik_fn(
                 self.params, kp_global_clips, offsets, self._lb, self._ub
             )
             qposes, xposes, xquats, marker_sites, errors = fetch_arrays(out)
@@ -393,6 +402,32 @@ class Stac:
 
     # ----------------------------------------------------------- package
 
+    def compute_full_outputs(self, qposes):
+        """Derive xpos/xquat/marker_sites from fitted qpos (one batched FK).
+
+        The lean ik_only payload (return_full=False) skips these to cut D2H
+        traffic; this recomputes them on demand for h5 saving or rendering.
+        qposes: (F, nq). Returns (xpos, xquat, marker_sites) numpy arrays.
+        """
+        if self._full_fn is None:
+            core = self.stac_core_obj
+
+            def full(params, qs):
+                res = jax.vmap(core.fk, in_axes=(None, 0))(params, qs)
+                return (
+                    res.xpos,
+                    res.xquat,
+                    res.site_xpos[:, core.site_idxs],
+                )
+
+            self._full_fn = jax.jit(full)
+        params = self.params.set_site_pos(
+            jnp.asarray(self._offsets, self.params.qpos0.dtype),
+            jnp.asarray(self._body_site_idxs),
+        )
+        out = self._full_fn(params, jnp.asarray(qposes))
+        return jax.device_get(out)
+
     def _package_data(
         self, qposes, xposes, xquats, marker_sites, kp_data, batched=False
     ) -> io.StacData:
@@ -402,12 +437,24 @@ class Stac:
         including the order='F' flattening of xpos/xquat (stac.py:484-485) —
         a reference quirk kept byte-for-byte for artifact compatibility
         (downstream consumers read qpos, which flattens in C order).
+
+        xposes/xquats/marker_sites may be None (lean ik payload) — they
+        package as empty arrays; derive real values with
+        compute_full_outputs when needed.
         """
+        lean = xposes is None
+        if lean:
+            xposes = np.zeros((0,), np.float32)
+            xquats = np.zeros((0,), np.float32)
+            marker_sites = np.zeros((0,), np.float32)
         if batched:
             qposes = qposes.reshape(-1, qposes.shape[-1])
-            xposes = xposes.reshape(-1, *xposes.shape[2:], order="F")
-            xquats = xquats.reshape(-1, *xquats.shape[2:], order="F")
-            marker_sites = marker_sites.reshape(-1, *marker_sites.shape[2:])
+            if not lean:
+                xposes = xposes.reshape(-1, *xposes.shape[2:], order="F")
+                xquats = xquats.reshape(-1, *xquats.shape[2:], order="F")
+                marker_sites = marker_sites.reshape(
+                    -1, *marker_sites.shape[2:]
+                )
         offsets = np.array(self._offsets)
         kp_data = kp_data.reshape(-1, kp_data.shape[-1])
         return io.StacData(

@@ -73,7 +73,7 @@ def test_kp_name_count_mismatch_raises():
 def test_unsupported_suffix_raises():
     cfg = compose_config("configs")
     cfg.stac.data_path = "something.pickle"
-    with pytest.raises(ValueError, match="Unsupported file extension"):
+    with pytest.raises(ValueError, match="cannot load '.pickle'"):
         io.load_data(cfg, base_path="/root/repo")
 
 

@@ -82,8 +82,16 @@ def test_parity_rodent_small_golden():
     "set STAC_TPU_SLOW=1",
 )
 def test_parity_rodent_demo_full_golden():
-    """The reference demo fit budget reproduces its recorded outputs."""
+    """The reference demo fit budget reproduces its recorded outputs AND
+    meets the <=5 mm mean marker-residual quality gate (VERDICT r1 item 6)."""
     _check("rodent_demo_full")
+    golden = np.load(GOLDEN_DIR / "rodent_demo_full.npz")
+    resid = np.linalg.norm(
+        golden["fit_markers"]
+        - golden["fit_kp"].reshape(golden["fit_markers"].shape),
+        axis=-1,
+    ).mean()
+    assert resid <= 5e-3, f"demo-budget fit residual {resid * 1e3:.2f} mm > 5 mm"
 
 
 def test_jaxopt_mode_differs_from_robust_mode():

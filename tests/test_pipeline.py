@@ -41,6 +41,47 @@ def test_synth_full_pipeline(tmp_path):
     assert resid.max() < 1e-3
 
 
+def test_ik_return_full_lean_payload_roundtrips():
+    """return_full=False returns identical qpos with an empty xpos payload;
+    compute_full_outputs rederives xpos/xquat/markers exactly."""
+    reference_path("tests/data/test_synth_1_frames.nwb")
+    cfg = compose_config(
+        "configs",
+        overrides=[
+            "stac=stac_synth_data",
+            "model=synth_data",
+            "stac.q_solver=gn-lm",
+            "stac.pose_mode=lockstep",
+            "stac.n_frames_per_clip=4",
+        ],
+    )
+    data = resolve_asset(cfg.stac.data_path, "/root/repo")
+    cfg.stac.data_path = str(data)
+    kp, names = io.load_data(cfg, base_path="/root/repo")
+    kp = np.tile(np.asarray(kp), (8, 1))
+    xml = resolve_asset(cfg.model.MJCF_PATH, "/root/repo")
+    stac = Stac(xml, cfg, names)
+
+    full = stac.ik_only(kp, stac._offsets, return_full=True)
+    lean = stac.ik_only(kp, stac._offsets, return_full=False)
+    np.testing.assert_array_equal(full.qpos, lean.qpos)
+    assert lean.xpos.size == 0 and lean.xquat.size == 0
+
+    xp, xq, ms = stac.compute_full_outputs(lean.qpos)
+    np.testing.assert_allclose(
+        np.asarray(xp).reshape(full.xpos.shape, order="F"), full.xpos,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(xq).reshape(full.xquat.shape, order="F"), full.xquat,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ms).reshape(full.marker_sites.shape), full.marker_sites,
+        atol=1e-6,
+    )
+
+
 @pytest.fixture(scope="module")
 def rodent_small():
     cfg = compose_config(
