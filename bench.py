@@ -1,29 +1,46 @@
-"""Benchmark: rodent IK throughput (frames/s) on the current accelerator.
+"""Benchmark: rodent fit + IK throughput (frames/s) on the current accelerator.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N, "detail": {...}}
 
-Workload: the reference's rodent demo recording (1000 frames, 23 keypoints),
-root optimization + a full-q pose solve per frame, solved by the throughput
-configuration (lockstep scheduling, Gauss-Newton solver, pointer-doubling
-FK, no per-part refinement — see the overrides below). Quality is reported
-alongside speed: mean_marker_resid_m on this workload beats the
-reference-algorithm (projected gradient + part refinement) result.
+Workloads (BASELINE.md eval configs):
+  * fit_offsets on 250 frames of the reference's rodent recording
+    (root opt + 6 alternation iters + final pose pass), throughput config.
+  * ik_only on a 10,000-frame multi-clip recording (the 1000-frame rodent
+    recording tiled 10x, 40 clips x 250 frames) with the offsets calibrated
+    by the fit. This is the headline metric. End-to-end includes host->device
+    placement and the D2H result pull (lean payload: qpos + errors); the
+    device-only time of the same jitted program is reported alongside.
 
-vs_baseline: measured against the reference's architecture on the SAME chip —
-sequential per-frame Python dispatch of the identical jitted solver (how
-stac-mjx drives jaxopt, compute_stac.py:256-267). The reference itself cannot
-run here (it is CUDA/MJX-bound), so this is the honest apples-to-apples:
-same math, same hardware, reference-style execution vs TPU-native execution.
-Falls back to synthetic FK-generated keypoints if the reference recording is
-unavailable.
+Throughput config: lockstep scheduling, analytic-Jacobian Levenberg-
+Marquardt (ops/gn_ik.py, normal equations through the Pallas batched-
+Cholesky kernel), pointer-doubling FK, no per-part refinement. Quality is
+reported as mean_marker_resid_m on the 10k workload.
+
+vs_baseline: measured against this framework's own reference-parity
+execution mode on the SAME chip — `q_solver=pg-jaxopt pose_mode=sequential`,
+the whole-program lax.scan replication of the reference's algorithm
+(sequential warm-started frames, 400-iter projected gradient, per-part
+refinement; stac_mjx/compute_stac.py:216-267). The reference itself cannot
+run here (CUDA/MJX-bound), so this is the honest apples-to-apples ratio:
+same math and hardware, reference algorithm vs TPU-native execution. The
+reference's *dispatch* style (one jit call per frame per part from Python)
+is additionally reported as detail.ref_style_dispatch_fps — it is dominated
+by per-call tunnel latency on this box and is NOT used as the baseline.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _fps(n_frames, fn):
+    t0 = time.time()
+    fn()
+    return n_frames / (time.time() - t0)
 
 
 def main() -> int:
@@ -35,35 +52,26 @@ def main() -> int:
     from stac_mjx_tpu.ops.stac_core import make_qs
     from stac_mjx_tpu.stac import Stac
     from stac_mjx_tpu.utils.assets import resolve_asset
+    from stac_mjx_tpu.utils.batching import batch_kp_data
     from stac_mjx_tpu.utils.xla import enable_xla_flags
 
     enable_xla_flags()
 
-    n_frames = 1000
-    cfg = compose_config(
-        "/root/repo/configs",
-        overrides=[
-            f"stac.n_frames_per_clip={n_frames}",
-            "stac.pose_mode=lockstep",
-            # Throughput solver: analytic-Jacobian flat Levenberg-Marquardt
-            # (ops/gn_ik.py solve_batch) — same masked marker objective as
-            # the reference's 400-iteration projected gradient, ~30x fewer
-            # sequential rounds and a lower final residual. All frames'
-            # normal equations solve in one sweep through the Pallas
-            # batched-Cholesky kernel (ops/spd.py; ~10x over XLA's
-            # sequential batched cho_factor on v5e).
-            "stac.q_solver=gn-lm",
-            # GN's full-q solve converges outright, so the per-part
-            # refinement passes (which mop up PG's slow tail) are skipped:
-            # ~5x throughput for ~0.1mm of residual. The reported
-            # mean_marker_resid_m is the quality check (beats the PG path's
-            # 3.6mm on this workload either way).
-            "stac.skip_part_opt=true",
-            # Pointer-doubling FK: 6 composition steps instead of 39
-            # sequential tree levels per FK evaluation.
-            "stac.fk_impl=jump",
-        ],
-    )
+    # Sizes are overridable for smoke-testing on CPU (defaults = the real
+    # benchmark workload; the driver runs the defaults).
+    n_fit = int(os.environ.get("STAC_BENCH_FIT_FRAMES", 250))
+    clip = int(os.environ.get("STAC_BENCH_CLIP_FRAMES", 250))
+    n_ik = int(os.environ.get("STAC_BENCH_IK_FRAMES", 10_000))
+    throughput_overrides = [
+        f"stac.n_fit_frames={n_fit}",
+        f"stac.n_frames_per_clip={clip}",
+        "stac.pose_mode=lockstep",
+        "stac.q_solver=gn-lm",
+        "stac.skip_part_opt=true",
+        "stac.fk_impl=jump",
+        "stac.ik_return_full=false",
+    ]
+    cfg = compose_config("/root/repo/configs", overrides=throughput_overrides)
     data_file = resolve_asset(
         "tests/data/test_rodent_mocap_1000_frames.nwb", "/root/repo"
     )
@@ -71,52 +79,79 @@ def main() -> int:
 
     if data_file.exists():
         cfg.stac.data_path = str(data_file)
-        kp_data, names = io.load_data(cfg, base_path="/root/repo")
-        stac = Stac(xml, cfg, names)
+        kp_base, names = io.load_data(cfg, base_path="/root/repo")
+        kp_base = np.asarray(kp_base)
     else:
         # Self-contained fallback: synthesize keypoints by FK of random poses.
         names = list(cfg.model.KEYPOINT_MODEL_PAIRS.keys())
-        stac = Stac(xml, cfg, names)
+        synth = Stac(xml, cfg, names)
         rng = np.random.default_rng(0)
-        qs = np.tile(np.asarray(stac.params.qpos0), (n_frames, 1))
+        qs = np.tile(np.asarray(synth.params.qpos0), (1000, 1))
         qs += 0.05 * rng.normal(size=qs.shape)
-        kp_data = jax.vmap(
-            lambda q: stac.stac_core_obj.fk(stac.params, q)
-            .site_xpos[stac._body_site_idxs]
-            .reshape(-1)
-        )(jnp.asarray(qs, jnp.float32))
+        kp_base = np.asarray(
+            jax.vmap(
+                lambda q: synth.stac_core_obj.fk(synth.params, q)
+                .site_xpos[synth._body_site_idxs]
+                .reshape(-1)
+            )(jnp.asarray(qs, jnp.float32))
+        )
 
-    kp_data = jnp.asarray(kp_data[:n_frames], jnp.float32)
+    kp_ik = np.tile(kp_base, (n_ik // len(kp_base) + 1, 1))[:n_ik]
+
+    stac = Stac(xml, cfg, names)
+
+    # ---- fit_offsets (250 frames, root + 6 iters + final pass) ------------
+    kp_fit = jnp.asarray(kp_base[:n_fit], jnp.float32)
+    stac.fit_offsets(kp_fit)  # warmup: compiles the fit program
+    fit_fps = _fps(n_fit, lambda: stac.fit_offsets(kp_fit))
     offsets = np.asarray(stac._offsets)
 
-    # ---- ours: lockstep whole-program IK (warmup compiles, then timed) ----
-    warm = stac.ik_only(kp_data, offsets)
-    # Calibrate offsets with one closed-form m-phase on the warmup poses so
-    # the reported residual reflects the calibrated pipeline.
-    mres = stac.stac_core_obj.m_opt(
-        stac.params,
-        kp_data[:100],
-        jnp.asarray(warm.qpos[:100]),
-        jnp.asarray(offsets, jnp.float32),
-        stac._is_regularized,
-        float(cfg.model.M_REG_COEF),
+    # ---- ik_only end-to-end on 10k frames / 40 clips ----------------------
+    ik = stac.ik_only(kp_ik, offsets)  # warmup compile
+    ik_e2e_fps = _fps(n_ik, lambda: stac.ik_only(kp_ik, offsets))
+
+    # Device-only split: the same jitted program, synced but not fetched.
+    batched = jnp.asarray(
+        batch_kp_data(kp_ik, clip, continuous=False), jnp.float32
     )
-    offsets = np.asarray(mres.params)
+    offs_dev = jnp.asarray(offsets, jnp.float32)
+    ik_fn = stac._get_ik_fn(return_full=False)
+    out = ik_fn(stac.params, batched, offs_dev, stac._lb, stac._ub)
+    jax.block_until_ready(out)
+    ik_dev_fps = _fps(
+        n_ik,
+        lambda: jax.block_until_ready(
+            ik_fn(stac.params, batched, offs_dev, stac._lb, stac._ub)
+        ),
+    )
 
-    t0 = time.time()
-    ik = stac.ik_only(kp_data, offsets)
-    ours_s = time.time() - t0
-    ours_fps = n_frames / ours_s
-    resid = np.linalg.norm(
-        ik.marker_sites.reshape(n_frames, -1, 3)
-        - ik.kp_data.reshape(n_frames, -1, 3),
-        axis=-1,
-    ).mean()
+    # Quality on the 10k workload: the program's per-frame errors ARE the
+    # mean marker Euclidean distance in meters (pipeline.pose_optimization),
+    # so quality costs one scalar D2H — a 10k-frame full-output pull
+    # (~22 MB) is exactly the tunnel pathology CLAUDE.md warns about.
+    resid = float(jnp.mean(out[-1]))
 
-    # ---- baseline: reference-style sequential per-frame dispatch ----------
-    # The baseline keeps the reference's *algorithm* too: projected gradient
-    # with the full N_ITER_Q budget (how stac-mjx drives jaxopt), regardless
-    # of which solver our throughput path above uses.
+    # ---- baseline: whole-program reference-parity mode --------------------
+    # Same chip, same single jitted program discipline, but the reference's
+    # algorithm: sequential warm-started frames (lax.scan), 400-iteration
+    # jaxopt-semantics projected gradient, per-part refinement passes.
+    par_cfg = compose_config(
+        "/root/repo/configs",
+        overrides=[
+            f"stac.n_frames_per_clip={clip}",
+            "stac.pose_mode=sequential",
+            "stac.q_solver=pg-jaxopt",
+            "stac.ik_return_full=false",
+        ],
+    )
+    par = Stac(xml, par_cfg, names)
+    kp_par = kp_base[:clip]
+    par.ik_only(kp_par, offsets)  # warmup compile
+    parity_fps = _fps(clip, lambda: par.ik_only(kp_par, offsets))
+
+    # ---- detail-only: reference *dispatch* style (one jit call per frame
+    # per part from Python) — tunnel-latency bound on this box, see module
+    # docstring; reported for context, never used as the baseline.
     from stac_mjx_tpu.ops.stac_core import StacCore
 
     core = StacCore(
@@ -132,37 +167,45 @@ def main() -> int:
     qs_all = jnp.ones(nq, bool)
     kps_all = jnp.ones(K * 3)
     parts = [jnp.asarray(p) for p in stac._indiv_parts]
+    kp_dev = jnp.asarray(kp_base, jnp.float32)
 
     q = params.qpos0
-    r = q_opt(params, kp_data[0], qs_all, kps_all, q, lb, ub)
-    jax.block_until_ready(r.params)
+    jax.block_until_ready(q_opt(params, kp_dev[0], qs_all, kps_all, q, lb, ub).params)
     for p in parts:
-        r2 = q_opt(params, kp_data[0], p, kps_all, q, lb, ub)
-        jax.block_until_ready(r2.params)
+        jax.block_until_ready(q_opt(params, kp_dev[0], p, kps_all, q, lb, ub).params)
 
-    n_ref = 10
-    t0 = time.time()
-    q = params.qpos0
-    for f in range(n_ref):
-        res = q_opt(params, kp_data[f], qs_all, kps_all, q, lb, ub)
-        q = res.params
-        for p in parts:
-            res = q_opt(params, kp_data[f], p, kps_all, q, lb, ub)
-            q = make_qs(q, p, res.params)
+    n_disp = 10
+
+    def _ref_style():
+        q = params.qpos0
+        for f in range(n_disp):
+            res = q_opt(params, kp_dev[f], qs_all, kps_all, q, lb, ub)
+            q = res.params
+            for p in parts:
+                res = q_opt(params, kp_dev[f], p, kps_all, q, lb, ub)
+                q = make_qs(q, p, res.params)
         q.block_until_ready()
-    ref_fps = n_ref / (time.time() - t0)
+
+    dispatch_fps = _fps(n_disp, _ref_style)
 
     print(
         json.dumps(
             {
-                "metric": "rodent_ik_frames_per_s_per_chip",
-                "value": round(ours_fps, 2),
+                "metric": "rodent_ik10k_frames_per_s_per_chip",
+                "value": round(ik_e2e_fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(ours_fps / ref_fps, 1),
+                "vs_baseline": round(ik_e2e_fps / parity_fps, 1),
                 "detail": {
-                    "baseline_ref_style_fps": round(ref_fps, 3),
-                    "mean_marker_resid_m": float(round(resid, 6)),
-                    "n_frames": n_frames,
+                    "baseline_parity_mode_fps": round(parity_fps, 2),
+                    "baseline_parity_mode": "pg-jaxopt sequential scan, 400 PG iters + part refinement, whole-program",
+                    "ik_device_only_fps": round(ik_dev_fps, 2),
+                    "e2e_over_device": round(ik_e2e_fps / ik_dev_fps, 3),
+                    "fit_offsets_fps": round(fit_fps, 2),
+                    "fit_frames": n_fit,
+                    "ik_frames": n_ik,
+                    "ik_clips": n_ik // clip,
+                    "mean_marker_resid_m": round(resid, 6),
+                    "ref_style_dispatch_fps": round(dispatch_fps, 3),
                     "device": str(jax.devices()[0]),
                 },
             }
