@@ -28,10 +28,21 @@ def batch_kp_data(kp_data, n_frames_per_clip: int, continuous: bool = False):
     n_frames = n_frames_per_clip
     total_frames = kp_data.shape[0]
     n_batches = int(total_frames // n_frames)
+    if n_batches == 0:
+        raise ValueError(
+            f"recording has {total_frames} frames but "
+            f"stac.n_frames_per_clip={n_frames}: need at least one full "
+            f"clip; lower n_frames_per_clip or provide more frames"
+        )
     if continuous:
         window = n_frames + CONTINUOUS_BATCH_OVERLAP
         if total_frames < window:
-            return kp_data.reshape((n_batches, window) + kp_data.shape[1:])
+            raise ValueError(
+                f"continuous mode needs at least n_frames_per_clip + "
+                f"{CONTINUOUS_BATCH_OVERLAP} = {window} frames for the "
+                f"overlap window, got {total_frames}; lower "
+                f"stac.n_frames_per_clip or set stac.continuous=false"
+            )
         starts = np.arange(0, n_batches * n_frames, n_frames)
         batches = [kp_data[s : s + window] for s in starts]
         batches[-1] = jnp.pad(
@@ -60,10 +71,17 @@ def handle_edge_effects(ik_only_data, n_frames_per_clip: int):
     Parity: stac_mjx/utils.py:393-461 — including the fact that quaternion
     columns are linearly blended like everything else. Operates in-place on a
     StacData and returns it.
+
+    Lean ik payloads (stac.ik_return_full=false) carry empty xpos/xquat/
+    marker_sites placeholders; those pass through untouched — the real
+    values, derived later from the crossfaded qpos via
+    Stac.compute_full_outputs, are automatically consistent.
     """
 
     def f(data: np.ndarray) -> np.ndarray:
         data = np.array(data)
+        if data.size == 0:
+            return data
         batched = data.reshape(
             (-1, n_frames_per_clip + CONTINUOUS_BATCH_OVERLAP) + data.shape[1:]
         )

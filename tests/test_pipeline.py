@@ -82,6 +82,36 @@ def test_ik_return_full_lean_payload_roundtrips():
     )
 
 
+def test_continuous_with_lean_payload_e2e(tmp_path):
+    """stac.continuous=true + stac.ik_return_full=false must compose: the
+    crossfade skips the lean payload's empty arrays (VERDICT r2 weak #2
+    reproduced an IndexError in handle_edge_effects)."""
+    reference_path("tests/data/test_synth_1_frames.nwb")
+    cfg = compose_config(
+        "configs",
+        overrides=[
+            "stac=synth",
+            "model=synth_data",
+            "stac.skip_ik_only=false",
+            "stac.continuous=true",
+            "stac.ik_return_full=false",
+            "stac.infer_qvels=true",
+            "stac.n_frames_per_clip=20",
+            "stac.q_solver=gn-lm",
+            "stac.pose_mode=lockstep",
+            f"stac.fit_offsets_path={tmp_path}/fit.h5",
+            f"stac.ik_only_path={tmp_path}/ik.h5",
+        ],
+    )
+    kp_one, names = io.load_data(cfg, base_path="/root/repo")
+    kp = np.tile(np.asarray(kp_one), (80, 1))
+    fit_path, ik_path = run_stac(cfg, kp, names, base_path="/root/repo")
+    _, d = io.load_stac_data(ik_path)
+    assert d.qpos.shape == (80, 7)
+    assert d.qvel.shape == (80, 6)
+    assert d.xpos.size == 0  # lean payload survived the crossfade
+
+
 @pytest.fixture(scope="module")
 def rodent_small():
     cfg = compose_config(
