@@ -72,6 +72,27 @@ class ProjectedGradient:
     init_stepsize: float = 1.0
     acceleration: bool = True
     jaxopt_mode: bool = False
+    # Per-deviation overrides (None = follow jaxopt_mode). Each names one
+    # way the jaxopt-0.8.5 reconstruction differs from the robust default;
+    # tests/test_jaxopt_witness.py flips them one at a time to show every
+    # deviation is individually material (self-justifying golden budgets).
+    ls_slack: bool | None = None  # eps rounding slack in the decrease test
+    reordered_test: bool | None = None  # jaxopt's multiply-through form
+    monotone_stepsize: bool | None = None  # shrink-only + underflow reset
+    error_from_x: bool | None = None  # error anchored at x_prev (vs y)
+    adaptive_restart: bool | None = None  # O'Donoghue–Candès restart
+
+    def _resolved(self):
+        """Resolve the five deviation flags against jaxopt_mode defaults."""
+        j = self.jaxopt_mode
+        pick = lambda v, jaxopt_val: jaxopt_val if v is None else v  # noqa: E731
+        return (
+            pick(self.ls_slack, not j),
+            pick(self.reordered_test, j),
+            pick(self.monotone_stepsize, j),
+            pick(self.error_from_x, j),
+            pick(self.adaptive_restart, not j),
+        )
 
     def run(
         self,
@@ -105,11 +126,18 @@ class ProjectedGradient:
         value_and_grad = jax.value_and_grad(fun)
         dtype = x0.dtype
         maxiter = self.maxiter
+        (
+            use_slack,
+            reordered_test,
+            monotone_stepsize,
+            error_from_x,
+            restart_on,
+        ) = self._resolved()
 
         def linesearch(y, f_y, g_y, stepsize):
             """Backtrack from ``stepsize`` until sufficient decrease holds."""
 
-            if self.jaxopt_mode:
+            if not use_slack:
                 eps = jnp.asarray(0.0, dtype)
             else:
                 # Rounding slack: near the optimum f_next and the quadratic
@@ -124,12 +152,12 @@ class ProjectedGradient:
                 x_next = project_box(y - ss * g_y, lb, ub)
                 diff = x_next - y
                 f_next = fun(x_next)
-                if self.jaxopt_mode:
+                if reordered_test:
                     # jaxopt's reordered form: multiply the Beck–Teboulle
                     # bound through by the stepsize so no division appears.
                     lhs = ss * (f_next - f_y)
                     rhs = ss * jnp.vdot(diff, g_y) + 0.5 * jnp.vdot(diff, diff)
-                    ok = lhs <= rhs
+                    ok = lhs <= rhs + eps * ss
                 else:
                     q_bound = (
                         f_y
@@ -166,7 +194,7 @@ class ProjectedGradient:
         def body(state):
             k, x, y, t, stepsize, err, f_x = state
             f_y, g_y = value_and_grad(y)
-            if self.jaxopt_mode:
+            if monotone_stepsize:
                 # jaxopt: the stepsize only ever shrinks across iterations,
                 # resetting to 1.0 when it underflows 1e-6.
                 trial = jnp.where(stepsize <= 1e-6, 1.0, stepsize)
@@ -179,7 +207,7 @@ class ProjectedGradient:
                     stepsize / self.decrease_factor, self.init_stepsize
                 )
             x_next, f_next, ss = linesearch(y, f_y, g_y, trial)
-            if self.jaxopt_mode:
+            if error_from_x:
                 err_next = jnp.linalg.norm((x_next - x).ravel()) / ss
             else:
                 err_next = jnp.linalg.norm((x_next - y).ravel()) / ss
@@ -196,7 +224,7 @@ class ProjectedGradient:
             if self.acceleration:
                 t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
                 y_next = x_next + ((t - 1.0) / t_next) * (x_next - x)
-                if not self.jaxopt_mode:
+                if restart_on:
                     # Adaptive restart (O'Donoghue & Candes gradient scheme):
                     # when momentum points against descent, clear it.
                     restart = jnp.vdot(y - x_next, x_next - x) > 0

@@ -15,9 +15,22 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import contextlib  # noqa: E402
+
 import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
+
+
+@contextlib.contextmanager
+def x64_mode():
+    """Temporarily enable f64 (CPU-only tests; jax.experimental.enable_x64
+    is gone in this jax version)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def reference_path(rel: str) -> str:
