@@ -16,7 +16,16 @@ pynwb reader (stac_mjx/io.py:127-147) and our ``io.load_nwb`` both consume:
         <node>/reference_frame ()  str
 
 Root-level ``identifier`` / ``session_description`` / ``session_start_time``
-datasets are written for NWB-shape compatibility.
+datasets are written for NWB-shape compatibility, plus best-effort
+``nwb_version`` / ``namespace`` / ``neurodata_type`` attributes.
+
+CAVEAT (honesty): the output is the ndx-pose HDF5 *layout*, not a
+schema-complete NWB file — it omits the embedded ``specifications`` group,
+per-object ``object_id`` UUIDs, and the full hdmf attribute set, so strict
+readers (``pynwb.NWBHDF5IO`` with validation) may reject it. It is intended
+for this pipeline's loaders (``io.load_nwb``) and dataset-path-based
+consumers; produce archival NWB with pynwb/ndx-pose on a machine where they
+install (the reference's Mat-to-Nwb.ipynb workflow).
 """
 
 from __future__ import annotations
@@ -59,6 +68,11 @@ def save_nwb(
     nwb_path = Path(nwb_path)
     str_t = h5py.string_dtype(encoding="utf-8")
     with h5py.File(nwb_path, "w") as f:
+        # Best-effort nwb-schema attributes (see module CAVEAT: layout, not
+        # a schema-complete NWB — strict pynwb validation may still reject).
+        f.attrs["nwb_version"] = "2.6.0"
+        f.attrs["namespace"] = "core"
+        f.attrs["neurodata_type"] = "NWBFile"
         f.create_dataset("identifier", data=identifier, dtype=str_t)
         f.create_dataset(
             "session_description", data=session_description, dtype=str_t
@@ -69,6 +83,8 @@ def save_nwb(
             dtype=str_t,
         )
         pe = f.create_group(_PE_PATH)
+        pe.attrs["namespace"] = "ndx-pose"
+        pe.attrs["neurodata_type"] = "PoseEstimation"
         pe.create_dataset(
             "nodes", data=np.array(node_names, dtype=object), dtype=str_t
         )
