@@ -200,6 +200,12 @@ def leg_ik(state_path):
         "ik_frames": N_IK,
         "ik_clips": N_IK // CLIP,
         "offsets_from_fit": fitted,
+        # e2e is transfer-bound on this box: the lean payload still moves
+        # ~2.8 MB H2D + ~3 MB D2H over a ~12 MB/s tunnel (~0.4 s — larger
+        # than the whole device solve). The chunked ik pipeline
+        # (stac.ik_chunk_clips) already overlaps transfers with compute;
+        # on production hosts (PCIe/ICI-attached chips) e2e ≈ device.
+        "e2e_note": "tunnel-transfer-bound; chunked pipeline overlaps D2H/H2D with compute",
     }
 
 

@@ -93,6 +93,18 @@ class StacConfig:
     # ~6x less D2H traffic on tunnel-attached chips; derive the rest on
     # demand with Stac.compute_full_outputs(qpos).
     ik_return_full: bool = True
+    # Single-device ik pipelining: split the clip axis into chunks of this
+    # many clips and fetch chunk i's results while chunk i+1 executes (JAX
+    # async dispatch overlaps D2H with compute). 0 = auto (a divisor of the
+    # clip count near 8 when there are >=16 clips); -1 = off; 1-clip
+    # granularity is legal. Ignored on multi-device meshes (the sharded
+    # program handles the clip axis there).
+    ik_chunk_clips: int = 0
+    # Successive root-only solves per clip. 0 = auto: the reference's two
+    # identical solves (compute_stac.py:64-98) in sequential/parity mode,
+    # one in lockstep mode (the duplicate is a measured quality no-op there
+    # and costs a full batched solve). Set 1/2 to force.
+    root_opt_passes: int = 0
 
 
 @dataclass

@@ -45,7 +45,7 @@ from stac_mjx_tpu.models.kinematics import (
 )
 from stac_mjx_tpu.ops import quat as qm
 from stac_mjx_tpu.ops.solver import PGResult
-from stac_mjx_tpu.ops.spd import make_spd_solve
+from stac_mjx_tpu.ops.spd import make_spd_solve, make_spd_solve_lanes
 
 
 def quat_exp(v: jnp.ndarray) -> jnp.ndarray:
@@ -89,6 +89,7 @@ class GNIK:
         self.max_bad_steps = max_bad_steps
         self.linesearch = linesearch
         self.spd_solve = make_spd_solve(spd_impl)
+        self.spd_solve_lanes = make_spd_solve_lanes(spd_impl)
         self.fk = (make_fk_jump if fk_impl == "jump" else make_fk)(topo)
 
         nq, njnt = topo.nq, topo.njnt
@@ -245,8 +246,25 @@ class GNIK:
         batched SPD kernel (Pallas on TPU) instead of vmapping XLA's
         sequential Cholesky — the lockstep throughput path.
         """
+        from stac_mjx_tpu.ops.spd import LANE
+
         dtype = q0.dtype
-        F = q0.shape[0]
+        # Pad the frame axis to a lane-tile multiple ONCE, here — otherwise
+        # the Pallas solve pads A/g inside every LM iteration (profiled at
+        # ~30 ms/program on the rodent ik: pad fusions rewriting the full
+        # normal-equation tensor each iteration). Dummy frames replicate the
+        # last real frame; every per-frame computation is independent, so
+        # real lanes are bit-identical and the pad is sliced off at return.
+        F_orig = q0.shape[0]
+        F = ((F_orig + LANE - 1) // LANE) * LANE
+        if F != F_orig:
+            pad = F - F_orig
+            q0 = jnp.concatenate(
+                [q0, jnp.broadcast_to(q0[-1:], (pad, q0.shape[1]))]
+            )
+            kp_data = jnp.concatenate(
+                [kp_data, jnp.broadcast_to(kp_data[-1:], (pad, kp_data.shape[1]))]
+            )
         big = jnp.asarray(1e10, dtype)
         lb_c = jnp.clip(lb, -big, big)
         ub_c = jnp.clip(ub, -big, big)
@@ -268,13 +286,19 @@ class GNIK:
             p = fkres.site_xpos[:, self.site_idxs].reshape(F, -1)
             return (p - kp_data) * kmask
 
+        eye_l = eye[:, :, None]
+
         def body(k, state):
             q, lam, f_x, fkres = state
             e = err_of(fkres)
             J = jac_b(fkres) * (kmask[None, :, None] * dof_mask[None, None, :])
-            A = jnp.einsum("frd,fre->fde", J, J) + lam[:, None, None] * eye
-            g = jnp.einsum("frd,fr->fd", J, e)
-            delta = -self.spd_solve(A, g) * dof_mask
+            # Normal equations built DIRECTLY in the Pallas kernel's
+            # frames-in-lanes layout (n, n, F) — the einsum's output order
+            # folds the relayout into the contraction epilogue instead of
+            # moving ~0.5 GB/iter of HBM through explicit transposes.
+            A_l = jnp.einsum("frd,fre->def", J, J) + lam[None, None, :] * eye_l
+            g_l = jnp.einsum("frd,fr->df", J, e)
+            delta = -self.spd_solve_lanes(A_l, g_l).T * dof_mask
             q_new = project(retract_b(q, delta))
             fk_new = fk_b(params, q_new)
             e_new = err_of(fk_new)
@@ -307,11 +331,11 @@ class GNIK:
             ),
         )
         return PGResult(
-            params=q,
-            error=jnp.sqrt(f_x),
-            value=f_x,
-            iters=jnp.full((F,), self.maxiter, jnp.int32),
-            stepsize=1.0 / (1.0 + lam),
+            params=q[:F_orig],
+            error=jnp.sqrt(f_x[:F_orig]),
+            value=f_x[:F_orig],
+            iters=jnp.full((F_orig,), self.maxiter, jnp.int32),
+            stepsize=1.0 / (1.0 + lam[:F_orig]),
         )
 
     # ----------------------------------------------------------------- solve

@@ -35,11 +35,19 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128  # f32 lane tile
 
 
-def _chol_solve_kernel(a_ref, g_ref, x_ref, *, n: int):
-    """Solve A x = g for a block of LANE frames.
+def _chol_solve_kernel(a_ref, g_ref, x_ref, lt_ref, *, n: int, width: int):
+    """Solve A x = g for a block of ``width`` frames (a lane-tile multiple).
 
-    a_ref: (n, n, LANE) — a_ref[r, c, f] = A_f[r, c] (symmetric SPD)
-    g_ref: (1, n, LANE), x_ref: (1, n, LANE) — coefficients in sublanes.
+    a_ref: (n, n, width) — a_ref[r, c, f] = A_f[r, c] (symmetric SPD)
+    g_ref: (1, n, width), x_ref: (1, n, width) — coefficients in sublanes.
+    lt_ref: (n, n, width) VMEM scratch for Lᵀ — each factor step STORES its
+    column row-wise (a (n, width) store at a static index) instead of
+    select-updating the whole block, which cost a full read+write of the
+    block per step (~2x kernel traffic).
+
+    ``width`` > LANE amortizes the factorization's sequential dependency
+    chain (n steps of dependent VPU ops — the kernel's latency floor) over
+    more systems per grid step.
     """
     a = a_ref[:]
     g = g_ref[:]
@@ -47,12 +55,10 @@ def _chol_solve_kernel(a_ref, g_ref, x_ref, *, n: int):
 
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
 
-    # lt[c, r, f] = L_f[r, c] (the layout the backward pass reads row-wise);
     # sqrtd[0, j, f] = L_f[j, j]; y built during the factor loop.
-    lt = jnp.zeros((n, n, LANE), dtype)
-    sqrtd = jnp.zeros((1, n, LANE), dtype)
-    y = jnp.zeros((1, n, LANE), dtype)
-    sacc = jnp.zeros((1, n, LANE), dtype)  # sacc[0,r,f] = Σ_{i<j} L[r,i] y_i
+    sqrtd = jnp.zeros((1, n, width), dtype)
+    y = jnp.zeros((1, n, width), dtype)
+    sacc = jnp.zeros((1, n, width), dtype)  # sacc[0,r,f] = Σ_{i<j} L[r,i] y_i
 
     for j in range(n):
         dj = a[j, j : j + 1, :][None]  # (1, 1, LANE)
@@ -64,9 +70,7 @@ def _chol_solve_kernel(a_ref, g_ref, x_ref, *, n: int):
         row_mask = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0) >= j
         cm = jnp.where(row_mask, cm, jnp.zeros_like(cm))
         cs = jnp.where(sub_ids >= j, cs, jnp.zeros_like(cs))
-        lt = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0) == j, cs, lt
-        )
+        lt_ref[j, :, :] = cs[0]  # row j of Lᵀ = column j of L
         sqrtd = jnp.where(sub_ids == j, sd, sqrtd)
         # Forward substitution for coordinate j, then fold y_j's
         # contribution into the accumulator before the Schur update.
@@ -77,31 +81,79 @@ def _chol_solve_kernel(a_ref, g_ref, x_ref, *, n: int):
         a = a - cm * cs
 
     # Backward: Lᵀ x = y, x_j = (y_j − Σ_{r>j} L[r,j] x_r) / L[j,j].
-    x = jnp.zeros((1, n, LANE), dtype)
+    x = jnp.zeros((1, n, width), dtype)
     for j in range(n - 1, -1, -1):
-        s = jnp.sum(lt[j : j + 1, :, :] * x, axis=1, keepdims=True)
+        s = jnp.sum(lt_ref[j, :, :][None] * x, axis=1, keepdims=True)
         xj = (y[:, j : j + 1, :] - s) / sqrtd[:, j : j + 1, :]
         x = jnp.where(sub_ids == j, xj, x)
 
     x_ref[:] = x
 
 
+def _block_width(n: int, F: int) -> int:
+    """Frames per grid step (a lane-tile multiple dividing F).
+
+    Measured on v5e (rodent ik, n=73, F=2560/call): width 256 ran ~2.5%
+    SLOWER than 128 end-to-end (40.0k vs 41.1k f/s) — the factorization's
+    dependency chain is already hidden behind the grid pipeline, and wider
+    blocks only raise VMEM pressure — so this stays at one lane tile. The
+    kernel itself is ~12% of the LM iteration (ablation: 250→220 ms/16
+    iters with the solve stubbed out), so the solve is not the lever here.
+    """
+    del F
+    del n
+    return LANE
+
+
 def _spd_solve_lanes(A_nnf: jnp.ndarray, g_nf: jnp.ndarray, interpret: bool):
     """Kernel entry on the lanes layout: A (n, n, F), g (n, F) → x (n, F)."""
     n, _, F = A_nnf.shape
     assert F % LANE == 0
-    grid = (F // LANE,)
+    # interpret mode (CPU tests) emulates the whole block elementwise —
+    # keep it at one lane tile; width only matters for real-TPU latency.
+    width = LANE if interpret else _block_width(n, F)
+    grid = (F // width,)
     return pl.pallas_call(
-        functools.partial(_chol_solve_kernel, n=n),
+        functools.partial(_chol_solve_kernel, n=n, width=width),
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((1, n, F), A_nnf.dtype),
         in_specs=[
-            pl.BlockSpec((n, n, LANE), lambda i: (0, 0, i)),
-            pl.BlockSpec((1, n, LANE), lambda i: (0, 0, i)),
+            pl.BlockSpec((n, n, width), lambda i: (0, 0, i)),
+            pl.BlockSpec((1, n, width), lambda i: (0, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, n, LANE), lambda i: (0, 0, i)),
+        out_specs=pl.BlockSpec((1, n, width), lambda i: (0, 0, i)),
+        scratch_shapes=[pltpu.VMEM((n, n, width), A_nnf.dtype)],
+        # The Lᵀ scratch + the double-buffered (n, n, LANE) input block
+        # exceed the default 16 MB scoped-vmem budget at n ≈ 74; the kernel
+        # fits comfortably in physical VMEM (128 MB on v5e) — raise the cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(A_nnf, g_nf[None]).reshape(n, F)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spd_solve_pallas_lanes(
+    A_l: jnp.ndarray, g_l: jnp.ndarray, interpret: bool = False
+):
+    """Lanes-layout entry: A (n, n, F), g (n, F) → x (n, F).
+
+    For callers that can PRODUCE the normal equations directly in the
+    kernel's frames-in-lanes layout (einsum output order "...->deF"), this
+    skips the (F,n,n)↔(n,n,F) relayouts of `spd_solve_pallas` — at 10k
+    frames those move ~0.5 GB of HBM per iteration.
+    """
+    n, _, F = A_l.shape
+    Fp = ((F + LANE - 1) // LANE) * LANE
+    if Fp != F:
+        pad = Fp - F
+        eye = jnp.broadcast_to(
+            jnp.eye(n, dtype=A_l.dtype)[:, :, None], (n, n, pad)
+        )
+        A_l = jnp.concatenate([A_l, eye], axis=-1)
+        g_l = jnp.concatenate([g_l, jnp.zeros((n, pad), g_l.dtype)], axis=-1)
+    return _spd_solve_lanes(A_l, g_l, interpret)[:, :F]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -135,6 +187,28 @@ def spd_solve_xla(A: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     if A.ndim == 2:
         return one(A, g)
     return jax.vmap(one)(A, g)
+
+
+def make_spd_solve_lanes(impl: str = "auto"):
+    """Like make_spd_solve but on the lanes layout: (n,n,F), (n,F) → (n,F).
+
+    The Pallas path runs natively in this layout; the XLA fallback pays the
+    relayout (it has no layout preference to exploit).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return spd_solve_pallas_lanes
+    if impl == "pallas-interpret":
+        return functools.partial(spd_solve_pallas_lanes, interpret=True)
+    if impl == "xla":
+        return lambda A_l, g_l: jnp.transpose(
+            spd_solve_xla(
+                jnp.transpose(A_l, (2, 0, 1)), jnp.transpose(g_l, (1, 0))
+            ),
+            (1, 0),
+        )
+    raise ValueError(f"unknown spd solve impl: {impl}")
 
 
 def make_spd_solve(impl: str = "auto"):

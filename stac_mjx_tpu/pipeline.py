@@ -53,6 +53,13 @@ class StacConfigStatic:
     indiv_parts: tuple  # tuple of np.ndarray bool masks (nq,)
     trunk_kps: Any  # np.ndarray bool (K,)
     pose_mode: str = "sequential"  # "sequential" (parity) | "lockstep"
+    # Successive root-only solves. 2 = the reference's two identical solves
+    # (compute_stac.py:64-98) — required for parity. Lockstep mode defaults
+    # to 1 (Stac resolves it): the second solve is a projected-gradient
+    # mop-up quirk; with the GN solvers it changes the residual at noise
+    # level while costing a full batched solve (measured +15% ik throughput
+    # removing it).
+    root_opt_passes: int = 2
 
 
 # ---------------------------------------------------------------- root phase
@@ -67,11 +74,14 @@ def root_optimization(
     lb: jnp.ndarray,
     ub: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Two successive root-only solves, seeded from the root keypoint.
+    """Successive root-only solves, seeded from the root keypoint.
 
     Parity with compute_stac.py:17-104: q[:3] is seeded from the root
-    keypoint's xyz both times; only the first `root_dims` qpos entries are
-    optimized, against trunk keypoints only.
+    keypoint's xyz before every pass; only the first `root_dims` qpos
+    entries are optimized, against trunk keypoints only. The reference runs
+    exactly two identical passes; `cfg.root_opt_passes` keeps that for
+    parity and lets the lockstep throughput path run one (see
+    StacConfigStatic.root_opt_passes).
     """
     root_xyz = jax.lax.dynamic_slice(
         kp_frame, (3 * cfg.root_kp_idx,), (3,)
@@ -79,13 +89,11 @@ def root_optimization(
     qs_to_opt = jnp.zeros_like(q0, dtype=bool).at[: cfg.root_dims].set(True)
     kps_to_opt = jnp.repeat(jnp.asarray(cfg.trunk_kps), 3).astype(q0.dtype)
 
-    q = q0.at[:3].set(root_xyz)
-    res = core.q_opt(params, kp_frame, qs_to_opt, kps_to_opt, q, lb, ub)
-    q = make_qs(q, qs_to_opt, res.params)
-
-    q = q.at[:3].set(root_xyz)
-    res = core.q_opt(params, kp_frame, qs_to_opt, kps_to_opt, q, lb, ub)
-    q = make_qs(q, qs_to_opt, res.params)
+    q = q0
+    for _ in range(cfg.root_opt_passes):
+        q = q.at[:3].set(root_xyz)
+        res = core.q_opt(params, kp_frame, qs_to_opt, kps_to_opt, q, lb, ub)
+        q = make_qs(q, qs_to_opt, res.params)
     return q
 
 

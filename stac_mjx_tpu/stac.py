@@ -136,6 +136,12 @@ class Stac:
         # (the part passes exist to mop up projected gradient's slow tail), so
         # this trades ~0.1mm of residual for ~5x throughput on TPU.
         skip_parts = bool(cfg.stac.get("skip_part_opt", False))
+        # Root-solve passes: 0 = auto (the reference's 2 in sequential/
+        # parity mode; 1 in lockstep, where the duplicate solve is a
+        # measured no-op for quality and a full batched solve of cost).
+        root_passes = int(cfg.stac.get("root_opt_passes", 0) or 0)
+        if root_passes <= 0:
+            root_passes = 1 if pose_mode == "lockstep" else 2
         self._static_cfg = pipeline.StacConfigStatic(
             n_iters=int(cfg.model.N_ITERS),
             n_sample_frames=int(cfg.model.N_SAMPLE_FRAMES),
@@ -146,6 +152,7 @@ class Stac:
             indiv_parts=() if skip_parts else tuple(self._indiv_parts),
             trunk_kps=self._trunk_kps,
             pose_mode=pose_mode,
+            root_opt_passes=root_passes,
         )
         self._fit_fn = None
         self._ik_fns = {}
@@ -258,6 +265,27 @@ class Stac:
             fn = self._ik_fns[return_full] = jax.jit(ik)
         return fn
 
+    def _ik_chunk(self, n_clips: int) -> int:
+        """Clip-chunk size for the pipelined single-device ik (0 = off).
+
+        Auto policy: on one device with >=16 clips, pick the divisor of
+        n_clips closest to 8 — ~5 in-flight chunks keep the D2H transfer of
+        one chunk hidden under the compute of the next without paying
+        per-dispatch overhead per clip. Multi-device meshes return 0 (the
+        sharded single program owns the clip axis there).
+        """
+        if len(jax.devices()) > 1:
+            return 0
+        chunk = int(self.cfg.stac.get("ik_chunk_clips", 0) or 0)
+        if chunk < 0:  # -1 = explicit off
+            return 0
+        if chunk:
+            return chunk if (chunk < n_clips and n_clips % chunk == 0) else 0
+        if n_clips < 16:
+            return 0
+        divisors = [d for d in range(1, n_clips) if n_clips % d == 0]
+        return min(divisors, key=lambda d: abs(d - 8))
+
     def ik_only(self, kp_data, offsets, return_full=None) -> io.StacData:
         """Batched IK with frozen offsets; clips shard over devices.
 
@@ -297,19 +325,45 @@ class Stac:
         # fail (VERDICT r1 §2.3) — and this avoids a pointless D2H re-fetch
         # of input data in the single-host case too.
         kp_host = np.asarray(batched_kp)
-        batched_kp = shard_clips(batched_kp)
+        chunk = self._ik_chunk(batched_kp.shape[0])
+        if not chunk:
+            batched_kp = shard_clips(batched_kp)
         offsets = jnp.asarray(offsets, dtype=self.params.qpos0.dtype)
         ik_fn = self._get_ik_fn(return_full)
         with profiling.phase("ik_only"):
-            out = ik_fn(self.params, batched_kp, offsets, self._lb, self._ub)
+            if chunk:
+                # Pipelined single-device path: upload + dispatch every
+                # chunk (JAX device_put and dispatch are both async, so the
+                # whole schedule enqueues immediately), then fetch in order
+                # — chunk i's H2D/D2H transfers overlap chunk i±1's device
+                # compute, hiding most of the tunnel latency. Results are
+                # bitwise identical to the single-program path (clips are
+                # independent; same per-clip program).
+                outs = [
+                    ik_fn(
+                        self.params,
+                        jax.device_put(kp_host[i : i + chunk]),
+                        offsets,
+                        self._lb,
+                        self._ub,
+                    )
+                    for i in range(0, kp_host.shape[0], chunk)
+                ]
+                fetched = [jax.device_get(o) for o in outs]
+                out = tuple(
+                    np.concatenate([f[j] for f in fetched], axis=0)
+                    for j in range(len(fetched[0]))
+                )
+            else:
+                out = jax.device_get(
+                    ik_fn(self.params, batched_kp, offsets, self._lb, self._ub)
+                )
             # One batched D2H pull for all outputs (per-array np.asarray
             # pays the transfer latency once per array).
             if return_full:
-                qposes, xposes, xquats, marker_sites, errors = jax.device_get(
-                    out
-                )
+                qposes, xposes, xquats, marker_sites, errors = out
             else:
-                qposes, errors = jax.device_get(out)
+                qposes, errors = out
                 xposes = xquats = marker_sites = None
 
         _, mean, std = self._get_error_stats(errors)

@@ -4,6 +4,8 @@ Equivalent of the reference's integration + CI smoke technique
 (its ci.yml runs the full pipeline on the 1-frame synth pendulum).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,6 +112,67 @@ def test_continuous_with_lean_payload_e2e(tmp_path):
     assert d.qpos.shape == (80, 7)
     assert d.qvel.shape == (80, 6)
     assert d.xpos.size == 0  # lean payload survived the crossfade
+
+
+def test_ik_chunked_pipeline_matches_single_program(tmp_path):
+    """The pipelined chunked ik (single-device D2H/compute overlap) returns
+    bitwise-identical results to the one-program path. Runs in a 1-device
+    subprocess — chunking deliberately disables itself on meshes and the
+    test env forces 8 virtual devices."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import os
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from stac_mjx_tpu.config import compose_config
+        from stac_mjx_tpu.models import firstparty
+        from stac_mjx_tpu.stac import Stac
+
+        def build(chunk):
+            cfg = compose_config(
+                "configs",
+                overrides=[
+                    "model=firstparty", "stac=firstparty",
+                    "stac.q_solver=gn-lm", "stac.pose_mode=lockstep",
+                    "stac.fk_impl=jump", "stac.n_frames_per_clip=5",
+                    f"stac.ik_chunk_clips={chunk}",
+                ],
+            )
+            return cfg, Stac("models/firstparty.xml", cfg,
+                             list(firstparty.KEYPOINTS))
+
+        cfg, stac = build(4)
+        kp, names, _, _ = firstparty.make_recording(cfg, n_frames=80, seed=3,
+                                                    base_path=".")
+        assert stac._ik_chunk(16) == 4
+        chunked = stac.ik_only(kp, stac._offsets, return_full=True)
+        cfg2, stac2 = build(-1)
+        assert stac2._ik_chunk(16) == 0
+        single = stac2.ik_only(kp, stac2._offsets, return_full=True)
+        np.testing.assert_array_equal(chunked.qpos, single.qpos)
+        np.testing.assert_array_equal(chunked.xpos, single.xpos)
+        np.testing.assert_array_equal(chunked.marker_sites,
+                                      single.marker_sites)
+        print("CHUNKED_OK")
+        """
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert "CHUNKED_OK" in proc.stdout, proc.stderr[-2000:]
 
 
 @pytest.fixture(scope="module")
