@@ -127,6 +127,7 @@ def _setup():
     ns = NS()
     ns.cfg, ns.xml, ns.names, ns.kp_base = cfg, xml, names, kp_base
     ns.Stac, ns.compose_config = Stac, compose_config
+    ns.throughput_overrides = throughput_overrides
     return ns
 
 
@@ -192,10 +193,26 @@ def leg_ik(state_path):
     # Quality: the program's per-frame errors ARE the mean marker Euclidean
     # distance in meters (pipeline.pose_optimization), one scalar D2H.
     resid = float(jnp.mean(out[-1]))
+
+    # Detail leg: f16 wire format (stac.wire_dtype=float16) — mean-centered
+    # f16 keypoints H2D, f16 qpos D2H; compute stays f32 on device. Halves
+    # the wire bytes, which is exactly what binds e2e on this tunnel.
+    cfg16 = ns.compose_config(
+        "/root/repo/configs",
+        overrides=ns.throughput_overrides + ["stac.wire_dtype=float16"],
+    )
+    if ns.cfg.stac.data_path:
+        cfg16.stac.data_path = ns.cfg.stac.data_path
+    stac16 = ns.Stac(ns.xml, cfg16, ns.names)
+    stac16.ik_only(kp_ik, offsets)  # warmup compile
+    wire_fps = _fps(N_IK, lambda: stac16.ik_only(kp_ik, offsets))
+
     return {
         "ik_e2e_fps": round(ik_e2e_fps, 2),
+        "ik_e2e_fps_wire_f16": round(wire_fps, 2),
         "ik_device_only_fps": round(ik_dev_fps, 2),
         "e2e_over_device": round(ik_e2e_fps / ik_dev_fps, 3),
+        "e2e_over_device_wire_f16": round(wire_fps / ik_dev_fps, 3),
         "mean_marker_resid_m": round(resid, 6),
         "ik_frames": N_IK,
         "ik_clips": N_IK // CLIP,

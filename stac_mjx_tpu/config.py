@@ -105,6 +105,19 @@ class StacConfig:
     # one in lockstep mode (the duplicate is a measured quality no-op there
     # and costs a full batched solve). Set 1/2 to force.
     root_opt_passes: int = 0
+    # Per-part refinement scheduling in lockstep mode. "auto" = "batched"
+    # on the throughput solver (pose_mode=lockstep + q_solver=gn-lm: all
+    # parts solve in ONE batched sweep from the full-pass result instead of
+    # P sequential solves), "sequential" elsewhere (the reference's part
+    # p sees part p-1's update, compute_stac.py:233-250). Force with
+    # "sequential" | "batched".
+    part_opt_mode: str = "auto"
+    # Host<->device transfer precision for ik_only keypoints/qpos:
+    # "float32" (default) or "float16" — mean-centered f16 keypoints up,
+    # f16 qpos down (~2x less wire traffic; compute stays f32 on device).
+    # On bandwidth-bound links this raises end-to-end throughput; adds
+    # <0.1 mm of quantization at mocap scales (tests/test_pipeline.py).
+    wire_dtype: str = "float32"
 
 
 @dataclass

@@ -245,6 +245,14 @@ class GNIK:
         expressed batched so the normal-equation solve runs through the
         batched SPD kernel (Pallas on TPU) instead of vmapping XLA's
         sequential Cholesky — the lockstep throughput path.
+
+        ``qs_to_opt`` may be (nq,) — one mask shared by every frame — or
+        (F, nq) with a mask per batch item. The per-item form is how the
+        lockstep scheduler folds ALL per-part refinement solves into one
+        sweep (parts ride the batch axis; pipeline.pose_optimization,
+        part_opt_mode="batched"): same FLOPs as the sequential part loop but
+        1/P the sequential depth and P× the lanes in every FK/einsum/SPD
+        launch.
         """
         from stac_mjx_tpu.ops.spd import LANE
 
@@ -257,6 +265,7 @@ class GNIK:
         # real lanes are bit-identical and the pad is sliced off at return.
         F_orig = q0.shape[0]
         F = ((F_orig + LANE - 1) // LANE) * LANE
+        per_item_qs = qs_to_opt.ndim == 2
         if F != F_orig:
             pad = F - F_orig
             q0 = jnp.concatenate(
@@ -265,13 +274,26 @@ class GNIK:
             kp_data = jnp.concatenate(
                 [kp_data, jnp.broadcast_to(kp_data[-1:], (pad, kp_data.shape[1]))]
             )
+            if per_item_qs:
+                qs_to_opt = jnp.concatenate(
+                    [
+                        qs_to_opt,
+                        jnp.broadcast_to(
+                            qs_to_opt[-1:], (pad, qs_to_opt.shape[1])
+                        ),
+                    ]
+                )
         big = jnp.asarray(1e10, dtype)
         lb_c = jnp.clip(lb, -big, big)
         ub_c = jnp.clip(ub, -big, big)
         clip_mask = jnp.asarray(self.clip_mask)
         kmask = kps_to_opt.astype(dtype)
+        # dof mask: (1, nv) shared, or (F, nv) per item — broadcasting makes
+        # every downstream use identical.
         dof_mask = (
-            jnp.asarray(self.v_from_q, dtype) @ qs_to_opt.astype(dtype) > 0
+            qs_to_opt.astype(dtype).reshape(-1, qs_to_opt.shape[-1])
+            @ jnp.asarray(self.v_from_q, dtype).T
+            > 0
         ).astype(dtype)
         eye = jnp.eye(self.nv, dtype=dtype)
 
@@ -291,7 +313,7 @@ class GNIK:
         def body(k, state):
             q, lam, f_x, fkres = state
             e = err_of(fkres)
-            J = jac_b(fkres) * (kmask[None, :, None] * dof_mask[None, None, :])
+            J = jac_b(fkres) * (kmask[None, :, None] * dof_mask[:, None, :])
             # Normal equations built DIRECTLY in the Pallas kernel's
             # frames-in-lanes layout (n, n, F) — the einsum's output order
             # folds the relayout into the contraction epilogue instead of

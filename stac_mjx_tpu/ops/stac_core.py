@@ -151,14 +151,23 @@ class StacCore:
         With the flat-LM solver ("gn-lm") this runs the natively-batched
         flat LM (the Pallas SPD kernel solves all frames' normal equations
         in one sweep); the linesearch GN ("gn") and projected-gradient
-        solvers keep their own per-frame semantics under vmap. Masks are
-        shared across frames, like the lockstep scheduler's full-q and part
-        passes.
+        solvers keep their own per-frame semantics under vmap.
+
+        ``qs_to_opt`` is (nq,) — one mask shared by every frame, like the
+        lockstep scheduler's full-q pass — or (F, nq) per item, which is how
+        the batched part-opt mode runs every part's refinement in one sweep
+        (pipeline.pose_optimization, part_opt_mode="batched").
         """
         if self.q_solver_kind == "gn" and not self.gnik.linesearch:
             return self.gnik.solve_batch(
                 params, kp_data, qs_to_opt, kps_to_opt, q0, lb, ub
             )
+        if qs_to_opt.ndim == 2:
+            return jax.vmap(
+                lambda kp_t, q0_t, qs_t: self.q_opt(
+                    params, kp_t, qs_t, kps_to_opt, q0_t, lb, ub
+                )
+            )(kp_data, q0, qs_to_opt)
         return jax.vmap(
             lambda kp_t, q0_t: self.q_opt(
                 params, kp_t, qs_to_opt, kps_to_opt, q0_t, lb, ub

@@ -60,6 +60,17 @@ class StacConfigStatic:
     # level while costing a full batched solve (measured +15% ik throughput
     # removing it).
     root_opt_passes: int = 2
+    # Per-part refinement scheduling (lockstep mode only):
+    # "sequential" — the reference's order: part p's solve starts from the
+    #   q updated by part p-1 (compute_stac.py:233-250).
+    # "batched" — all parts solve simultaneously from the full-pass result,
+    #   folded into ONE batched sweep (parts ride the frame/batch axis of
+    #   solve_batch); each part's masked dims are then written back in part
+    #   order. Documented divergence: parts don't see each other's updates —
+    #   with the GN solvers the full pass has already converged and the part
+    #   masks are (near-)disjoint limbs, so the delta is noise-level while
+    #   the sequential depth drops from (1+P) to 2 solves.
+    part_opt_mode: str = "sequential"
 
 
 # ---------------------------------------------------------------- root phase
@@ -162,12 +173,28 @@ def pose_optimization(
             params, kp_data, qs_all, kps_to_opt, q0b, lb, ub
         )
         qposes = res.params
-        for part in cfg.indiv_parts:
-            part_mask = jnp.asarray(part)
+        if cfg.indiv_parts and cfg.part_opt_mode == "batched":
+            # All P part solves in ONE sweep: parts ride the batch axis
+            # ((P*F, ·) items, per-item q masks), then each part's masked
+            # dims write back in part order. See StacConfigStatic.
+            P = len(cfg.indiv_parts)
+            part_masks = jnp.asarray(np.stack(cfg.indiv_parts))  # (P, nq)
+            kp_pf = jnp.tile(kp_data, (P, 1))
+            q0_pf = jnp.tile(qposes, (P, 1))
+            qs_pf = jnp.repeat(part_masks, F, axis=0)
             res = core.q_opt_batch(
-                params, kp_data, part_mask, kps_to_opt, qposes, lb, ub
+                params, kp_pf, qs_pf, kps_to_opt, q0_pf, lb, ub
             )
-            qposes = make_qs(qposes, part_mask, res.params)
+            sols = res.params.reshape(P, F, -1)
+            for i, part in enumerate(cfg.indiv_parts):
+                qposes = make_qs(qposes, jnp.asarray(part), sols[i])
+        else:
+            for part in cfg.indiv_parts:
+                part_mask = jnp.asarray(part)
+                res = core.q_opt_batch(
+                    params, kp_data, part_mask, kps_to_opt, qposes, lb, ub
+                )
+                qposes = make_qs(qposes, part_mask, res.params)
         q_last = qposes[-1]
     else:
         def step(q_carry, kp_t):

@@ -195,6 +195,90 @@ def test_gn_flat_lm_recovers_pose(free_chain):
     np.testing.assert_allclose(np.asarray(markers), np.asarray(kp), atol=2e-4)
 
 
+def test_solve_batch_per_item_masks_match_shared(free_chain):
+    """(F, nq) qs_to_opt rows equal to a shared (nq,) mask reproduce the
+    shared-mask solve exactly — and mixed rows reproduce the corresponding
+    separate shared-mask solves item-for-item (the batched part-opt
+    contract; pipeline.pose_optimization part_opt_mode='batched')."""
+    topo, params, core, _ = free_chain
+    gn = GNIK(topo, np.arange(3), maxiter=12, tol=1e-18, linesearch=False)
+    rng = np.random.default_rng(7)
+    nq = topo.nq
+    F = 6
+    q_true = np.stack([_rand_q(topo, params, rng, 0.25) for _ in range(F)])
+    kp = jax.vmap(lambda q: core.fk(params, q).site_xpos[:3].reshape(-1))(
+        jnp.asarray(q_true, jnp.float32)
+    )
+    kmask = jnp.ones(kp.shape[1], kp.dtype)
+    q0 = jnp.broadcast_to(params.qpos0, (F, nq))
+    lb = -jnp.full(nq, jnp.inf)
+    ub = jnp.full(nq, jnp.inf)
+
+    mask_a = jnp.ones(nq, bool)  # everything
+    mask_b = jnp.zeros(nq, bool).at[7:].set(True)  # hinges only
+
+    # Replicated per-item mask == shared mask.
+    shared = gn.solve_batch(params, kp, mask_a, kmask, q0, lb, ub)
+    per_item = gn.solve_batch(
+        params, kp, jnp.broadcast_to(mask_a, (F, nq)), kmask, q0, lb, ub
+    )
+    # not bitwise: the (F, nv) vs (1, nv) dof-mask broadcast changes XLA's
+    # fusion choices, so the converged iterates differ by f32 roundoff
+    np.testing.assert_allclose(
+        np.asarray(per_item.params), np.asarray(shared.params), atol=1e-5
+    )
+
+    # Mixed rows == the separate shared solves, item-for-item.
+    mixed_masks = jnp.stack([mask_a, mask_b, mask_a, mask_b, mask_b, mask_a])
+    mixed = gn.solve_batch(params, kp, mixed_masks, kmask, q0, lb, ub)
+    only_b = gn.solve_batch(params, kp, mask_b, kmask, q0, lb, ub)
+    want = np.where(
+        np.asarray(mixed_masks[:, :1]),  # rows of mask_a start all-True
+        np.asarray(shared.params),
+        np.asarray(only_b.params),
+    )
+    np.testing.assert_allclose(np.asarray(mixed.params), want, atol=1e-5)
+    # masked-out coordinates hold q0 up to quaternion renormalization
+    b_rows = np.asarray(mixed.params)[np.asarray(mixed_masks[:, 0]) == 0]
+    np.testing.assert_allclose(
+        b_rows[:, :3], np.asarray(q0[: b_rows.shape[0], :3]), atol=1e-6
+    )
+
+
+def test_solve_batch_per_item_masks_lane_padding(free_chain):
+    """Per-item masks survive the internal lane padding (F not a multiple
+    of the Pallas lane tile): results equal the per-item solve at a padded
+    size."""
+    topo, params, core, _ = free_chain
+    gn = GNIK(topo, np.arange(3), maxiter=8, tol=1e-18, linesearch=False)
+    rng = np.random.default_rng(8)
+    nq = topo.nq
+    F = 3  # far below LANE -> exercises the pad/broadcast of qs_to_opt
+    q_true = np.stack([_rand_q(topo, params, rng, 0.2) for _ in range(F)])
+    kp = jax.vmap(lambda q: core.fk(params, q).site_xpos[:3].reshape(-1))(
+        jnp.asarray(q_true, jnp.float32)
+    )
+    kmask = jnp.ones(kp.shape[1], kp.dtype)
+    q0 = jnp.broadcast_to(params.qpos0, (F, nq))
+    lb = -jnp.full(nq, jnp.inf)
+    ub = jnp.full(nq, jnp.inf)
+    masks = jnp.stack(
+        [
+            jnp.ones(nq, bool),
+            jnp.zeros(nq, bool).at[7:].set(True),
+            jnp.zeros(nq, bool).at[:7].set(True),
+        ]
+    )
+    res = gn.solve_batch(params, kp, masks, kmask, q0, lb, ub)
+    for f in range(F):
+        single = gn.solve_batch(
+            params, kp[f : f + 1], masks[f], kmask, q0[f : f + 1], lb, ub
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.params[f]), np.asarray(single.params[0]), atol=1e-6
+        )
+
+
 def test_gn_lm_through_stac_core(free_chain):
     """StacCore(q_solver='gn-lm') routes to the flat-LM schedule."""
     topo, params, core_pg, _ = free_chain

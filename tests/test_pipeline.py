@@ -175,6 +175,125 @@ def test_ik_chunked_pipeline_matches_single_program(tmp_path):
     assert "CHUNKED_OK" in proc.stdout, proc.stderr[-2000:]
 
 
+def _critter(overrides):
+    from stac_mjx_tpu.models import firstparty
+
+    cfg = compose_config(
+        "configs",
+        overrides=[
+            "model=firstparty",
+            "stac=firstparty",
+            "stac.q_solver=gn-lm",
+            "stac.pose_mode=lockstep",
+            "stac.fk_impl=jump",
+            "stac.skip_part_opt=false",
+            "stac.n_frames_per_clip=8",
+        ]
+        + overrides,
+    )
+    stac = Stac("models/firstparty.xml", cfg, list(firstparty.KEYPOINTS))
+    kp, _, _, _ = firstparty.make_recording(cfg, n_frames=16, seed=11,
+                                            base_path="/root/repo")
+    return cfg, stac, kp
+
+
+def test_part_opt_mode_auto_resolution():
+    """auto -> batched only on the lockstep + gn-lm throughput path."""
+    cases = [
+        (["stac.q_solver=gn-lm", "stac.pose_mode=lockstep"], "batched"),
+        (["stac.q_solver=gn-lm", "stac.pose_mode=sequential"], "sequential"),
+        (["stac.q_solver=pg", "stac.pose_mode=lockstep"], "sequential"),
+        (
+            [
+                "stac.q_solver=pg",
+                "stac.pose_mode=lockstep",
+                "stac.part_opt_mode=batched",
+            ],
+            "batched",
+        ),
+    ]
+    from stac_mjx_tpu.models import firstparty  # noqa: F401
+
+    for extra, want in cases:
+        cfg = compose_config(
+            "configs", overrides=["model=firstparty", "stac=firstparty"] + extra
+        )
+        stac = Stac("models/firstparty.xml", cfg, list(firstparty.KEYPOINTS))
+        assert stac._static_cfg.part_opt_mode == want, (extra, want)
+
+
+def test_part_opt_batched_close_to_sequential():
+    """One-sweep batched part refinement lands within noise of the
+    sequential part chain (VERDICT r2 next-#4): same full-pass start, parts
+    solve independently instead of chained. The residual must stay at the
+    sequential schedule's level and strictly improve on skipping parts."""
+    _, seq_stac, kp = _critter(["stac.part_opt_mode=sequential"])
+    _, bat_stac, _ = _critter(["stac.part_opt_mode=batched"])
+    _, skip_stac, _ = _critter(["stac.skip_part_opt=true"])
+
+    offs = seq_stac._offsets
+    seq = seq_stac.ik_only(kp, offs, return_full=True)
+    bat = bat_stac.ik_only(kp, offs, return_full=True)
+    skip = skip_stac.ik_only(kp, offs, return_full=True)
+
+    def mean_resid(d):
+        K = d.marker_sites.shape[1]
+        return np.linalg.norm(
+            d.marker_sites - d.kp_data.reshape(-1, K, 3), axis=-1
+        ).mean()
+
+    r_seq, r_bat, r_skip = mean_resid(seq), mean_resid(bat), mean_resid(skip)
+    # batched tracks sequential to sub-0.1mm on a converged GN solve
+    assert abs(r_bat - r_seq) < 1e-4, (r_bat, r_seq)
+    # and the part pass itself still does its job vs skipping it
+    assert r_bat <= r_skip + 1e-5, (r_bat, r_skip)
+    np.testing.assert_allclose(bat.qpos, seq.qpos, atol=5e-2)
+
+
+def test_wire_f16_matches_f32():
+    """stac.wire_dtype=float16: mean-centered f16 keypoints up, f16 results
+    down. Quantization must stay ~1e-4 m on the keypoints and the recovered
+    poses/residuals within f16-roundoff of the f32-wire run."""
+    cfg32, stac32, kp = _critter([])
+    cfg16, stac16, _ = _critter(["stac.wire_dtype=float16"])
+    assert stac16._wire_dtype == "float16"
+
+    offs = stac32._offsets
+    full = stac32.ik_only(kp, offs, return_full=True)
+    wire = stac16.ik_only(kp, offs, return_full=True)
+
+    # qpos agree at the solve's sensitivity to the ~1e-4 m keypoint
+    # quantization (near-redundant dofs can move ~100x the input delta;
+    # the marker-space quality below is the meaningful invariant)
+    np.testing.assert_allclose(wire.qpos, full.qpos, atol=2e-2)
+    # quality metric (computed on device in f32) unchanged at 0.2mm level
+    K = full.marker_sites.shape[1]
+
+    def mean_resid(d, markers):
+        return np.linalg.norm(
+            markers - d.kp_data.reshape(-1, K, 3), axis=-1
+        ).mean()
+
+    # wire.marker_sites went through f16; recompute from qpos for a fair
+    # quality comparison
+    _, _, ms16 = stac16.compute_full_outputs(wire.qpos)
+    assert abs(mean_resid(wire, ms16) - mean_resid(full, full.marker_sites)) < 2e-4
+    # the packaged artifact keeps the ORIGINAL f32 keypoints
+    np.testing.assert_array_equal(wire.kp_data, full.kp_data)
+
+
+def test_wire_dtype_rejects_unknown():
+    from stac_mjx_tpu.models import firstparty
+
+    cfg = compose_config(
+        "configs",
+        overrides=["model=firstparty", "stac=firstparty",
+                   "stac.wire_dtype=bfloat16"],
+    )
+    with pytest.raises(ValueError, match="wire_dtype"):
+        Stac("models/firstparty.xml", cfg, list(firstparty.KEYPOINTS))
+
+
 @pytest.fixture(scope="module")
 def rodent_small():
     cfg = compose_config(
