@@ -87,12 +87,24 @@ class StacConfig:
     skip_part_opt: bool = False  # drop per-part refinement solves (gn mode)
     fk_impl: str = "scan"  # "scan" (O(depth)) | "jump" (pointer doubling)
     spd_impl: str = "auto"  # GN normal-eq solve: "auto"|"pallas"|"xla"
+    # Batched flat-LM early exit: a lane improving its loss by <= FTOL^2
+    # for this many consecutive iterations freezes (per lane, so batch
+    # composition cannot change results); the loop exits when all lanes
+    # are frozen. Pays off on warm-started passes (fit alternations);
+    # 0 disables (fixed 16-iteration schedule).
+    gn_stall_iters: int = 3
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
     # ik_only result payload: True returns/transfers qpos+xpos+xquat+markers
     # (the reference's full h5 schema); False returns qpos+errors only —
     # ~6x less D2H traffic on tunnel-attached chips; derive the rest on
     # demand with Stac.compute_full_outputs(qpos).
     ik_return_full: bool = True
+    # Same lean-payload option for fit_offsets: False returns offsets +
+    # qpos + error statistics only (the resume contract needs nothing
+    # more); xpos/xquat/marker_sites are dead-code-eliminated from the
+    # program and absent from the D2H pull. Derive them on demand with
+    # Stac.compute_full_outputs(qpos).
+    fit_return_full: bool = True
     # Single-device ik pipelining: split the clip axis into chunks of this
     # many clips and fetch chunk i's results while chunk i+1 executes (JAX
     # async dispatch overlaps D2H with compute). 0 = auto (a divisor of the
@@ -100,6 +112,16 @@ class StacConfig:
     # granularity is legal. Ignored on multi-device meshes (the sharded
     # program handles the clip axis there).
     ik_chunk_clips: int = 0
+    # Sequential (parity) mode only: split each clip's per-frame lax.scan
+    # into segments of this many frames, dispatched host-side with the
+    # warm-start carried on device — numerically identical to the single
+    # scan (bitwise-asserted in tests) but each program's runtime is
+    # bounded, so reference-length clips (250 frames x 400 PG iters, a
+    # minutes-long sequential chain as one program) can't kill a
+    # watchdogged/tunnel-attached TPU worker. 0 = auto (10-frame segments
+    # on accelerators when clips exceed 25 frames; monolithic on CPU);
+    # -1 = force monolithic. Ignored in lockstep mode and with wire f16.
+    seq_segment_frames: int = 0
     # Successive root-only solves per clip. 0 = auto: the reference's two
     # identical solves (compute_stac.py:64-98) in sequential/parity mode,
     # one in lockstep mode (the duplicate is a measured quality no-op there
@@ -110,7 +132,10 @@ class StacConfig:
     # parts solve in ONE batched sweep from the full-pass result instead of
     # P sequential solves), "sequential" elsewhere (the reference's part
     # p sees part p-1's update, compute_stac.py:233-250). Force with
-    # "sequential" | "batched".
+    # "sequential" | "batched". NOTE: batched materializes a (P*F, ·)
+    # sweep — ~P× the full pass's peak HBM working set; the pipeline
+    # auto-falls back to sequential past ~32k items (pipeline.py). The
+    # resolved schedule is printed once at Stac init.
     part_opt_mode: str = "auto"
     # Host<->device transfer precision for ik_only keypoints/qpos:
     # "float32" (default) or "float16" — mean-centered f16 keypoints up,

@@ -197,6 +197,36 @@ def _critter(overrides):
     return cfg, stac, kp
 
 
+def test_ik_sequential_segments_match_monolithic():
+    """Segmented parity ik (stac.seq_segment_frames) is bitwise identical
+    to the monolithic per-clip scan (VERDICT r3 #1): lax.scan is sequential
+    application of the step function, so splitting it at segment boundaries
+    with the warm-start carried between dispatches changes nothing. Segment
+    size 3 over 8-frame clips also exercises the short remainder segment."""
+    common = [
+        "stac.pose_mode=sequential",
+        "stac.q_solver=pg",
+        "model.N_ITER_Q=15",
+        "stac.skip_part_opt=true",
+    ]
+    _, mono_stac, kp = _critter(common + ["stac.seq_segment_frames=-1"])
+    _, seg_stac, _ = _critter(common + ["stac.seq_segment_frames=3"])
+    assert mono_stac._seq_segment_frames(8) == 0
+    assert seg_stac._seq_segment_frames(8) == 3
+
+    offs = mono_stac._offsets
+    mono = mono_stac.ik_only(kp, offs, return_full=True)
+    seg = seg_stac.ik_only(kp, offs, return_full=True)
+    np.testing.assert_array_equal(seg.qpos, mono.qpos)
+    np.testing.assert_array_equal(seg.xpos, mono.xpos)
+    np.testing.assert_array_equal(seg.xquat, mono.xquat)
+    np.testing.assert_array_equal(seg.marker_sites, mono.marker_sites)
+
+    # lean payload takes the same segmented path
+    lean = seg_stac.ik_only(kp, offs, return_full=False)
+    np.testing.assert_array_equal(lean.qpos, mono.qpos)
+
+
 def test_part_opt_mode_auto_resolution():
     """auto -> batched only on the lockstep + gn-lm throughput path."""
     cases = [
@@ -282,6 +312,42 @@ def test_wire_f16_matches_f32():
     np.testing.assert_array_equal(wire.kp_data, full.kp_data)
 
 
+def test_wire_f16_off_origin_recording():
+    """Downlink centering (ADVICE r3 medium): wire-f16 output quantization
+    must not scale with the arena's absolute coordinates. A recording 16 m
+    off origin keeps root-translation/marker agreement at the near-origin
+    level — an uncentered f16 downlink would quantize at ~1.6 cm there."""
+    cfg32, stac32, kp = _critter([])
+    cfg16, stac16, _ = _critter(["stac.wire_dtype=float16"])
+    shift = np.array([64.0, -64.0, 32.0], np.float32)
+    kp_far = (
+        np.asarray(kp).reshape(len(kp), -1, 3) + shift
+    ).reshape(kp.shape)
+
+    offs = stac32._offsets
+    full = stac32.ik_only(kp_far, offs, return_full=True)
+    wire = stac16.ik_only(kp_far, offs, return_full=True)
+
+    # Root translation and markers live at |x| ~ 30-100 m, where an
+    # UNCENTERED f16 downlink quantizes at up to ~3e-2 m; the centered
+    # downlink quantizes at ~2.4e-4 m (pose extent), so agreement with the
+    # f32 run stays at the near-origin level.
+    np.testing.assert_allclose(
+        wire.qpos[:, :3], full.qpos[:, :3], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        wire.marker_sites, full.marker_sites, atol=2e-3
+    )
+    # xpos tolerance is looser: unmarkered/near-redundant dofs amplify the
+    # ~1e-4 uplink quantization into ~1e-2 body-position differences (same
+    # solve sensitivity the near-origin test's qpos atol covers). The
+    # discriminator is that 2e-2 is still below the uncentered downlink's
+    # ~3e-2 quantization at this shift.
+    np.testing.assert_allclose(wire.xpos, full.xpos, atol=2e-2)
+    # worldbody row stays exactly zero (excluded from centering)
+    np.testing.assert_array_equal(wire.xpos[:, 0], 0.0)
+
+
 def test_wire_dtype_rejects_unknown():
     from stac_mjx_tpu.models import firstparty
 
@@ -292,6 +358,58 @@ def test_wire_dtype_rejects_unknown():
     )
     with pytest.raises(ValueError, match="wire_dtype"):
         Stac("models/firstparty.xml", cfg, list(firstparty.KEYPOINTS))
+
+
+def test_fit_lean_payload_and_resume(tmp_path):
+    """fit_return_full=false: identical offsets/qpos with an empty
+    xpos/xquat/marker payload, and the lean fit h5 still drives an ik
+    resume (the resume contract only reads offsets; VERDICT r3 #6)."""
+    common = ["stac.n_fit_frames=16"]
+    cfg_f, full_stac, kp = _critter(common)
+    cfg_l, lean_stac, _ = _critter(common + ["stac.fit_return_full=false"])
+
+    full = full_stac.fit_offsets(kp)
+    lean = lean_stac.fit_offsets(kp)
+    np.testing.assert_array_equal(lean.offsets, full.offsets)
+    np.testing.assert_array_equal(lean.qpos, full.qpos)
+    assert lean.xpos.size == 0 and lean.marker_sites.size == 0
+
+    # explicit-arg override works too
+    lean2 = full_stac.fit_offsets(kp, return_full=False)
+    np.testing.assert_array_equal(lean2.offsets, full.offsets)
+
+    # lean fit h5 -> run_stac resume: skip fit, run ik from the artifact
+    from stac_mjx_tpu import io as tio
+    from stac_mjx_tpu.main import run_stac
+
+    fit_h5 = tmp_path / "fit.h5"
+    tio.save_data_to_h5(config=cfg_l, file_path=fit_h5, **lean.as_dict())
+    cfg_l.stac.skip_fit_offsets = True
+    cfg_l.stac.fit_offsets_path = str(fit_h5)
+    cfg_l.stac.ik_only_path = str(tmp_path / "ik.h5")
+    cfg_l.stac.data_path = "unused"
+    fit_path, ik_path = run_stac(cfg_l, kp, list(lean.kp_names),
+                                 base_path="/root/repo")
+    _, d = tio.load_stac_data(ik_path)
+    assert d.qpos.shape[0] == kp.shape[0]
+    np.testing.assert_array_equal(d.offsets, full.offsets)
+
+
+def test_fit_wire_f16_matches_f32():
+    """wire_dtype=float16 applies to fit_offsets too: offsets (kept f32 on
+    the wire) match the f32-wire run at the solve's sensitivity to the
+    ~1e-4 keypoint quantization; qpos rides the wire in f16."""
+    cfg32, stac32, kp = _critter([])
+    cfg16, stac16, _ = _critter(["stac.wire_dtype=float16"])
+
+    full = stac32.fit_offsets(kp)
+    wire = stac16.fit_offsets(kp)
+    np.testing.assert_allclose(wire.offsets, full.offsets, atol=5e-4)
+    np.testing.assert_allclose(wire.marker_sites, full.marker_sites,
+                               atol=2e-3)
+    np.testing.assert_allclose(wire.qpos, full.qpos, atol=2e-2)
+    # the packaged artifact keeps the ORIGINAL f32 keypoints
+    np.testing.assert_array_equal(wire.kp_data, full.kp_data)
 
 
 @pytest.fixture(scope="module")
