@@ -348,6 +348,27 @@ def make_fk_jump(topo: KinTopology):
     nq = topo.nq
     S = max(topo.max_slots, 1)
 
+    # qpos reads as static one-hot matvecs instead of fancy-index gathers
+    # (under vmap the matvec batches into one (F, nq) x (nq, ·) matmul;
+    # bit-exact: each row has exactly one 1.0, so every product and
+    # accumulation is exact). qv7 (the 7-wide window free/ball joints
+    # need) is only built for slots that contain such joints; slots whose
+    # joints are all hinge/slide read just the single qpos scalar.
+    qv7_mats = []
+    q1_mats = []
+    slot_types_present: list[set] = []
+    for s in range(S):
+        idx = np.minimum(topo.slot_qadr[:, s][:, None] + n7, nq - 1)
+        W = np.zeros((topo.nbody * 7, nq), np.float32)
+        W[np.arange(topo.nbody * 7), idx.reshape(-1)] = 1.0
+        qv7_mats.append(W)
+        W1 = np.zeros((topo.nbody, nq), np.float32)
+        W1[np.arange(topo.nbody), np.minimum(topo.slot_qadr[:, s], nq - 1)] = 1.0
+        q1_mats.append(W1)
+        slot_types_present.append(
+            {int(t) for t in topo.slot_type[:, s]} - {JNT_NONE}
+        )
+
     # Jump pointers: free-jointed bodies attach directly to world.
     jump_parent = topo.body_parentid.copy()
     has_free = np.zeros(topo.nbody, dtype=bool)
@@ -383,6 +404,13 @@ def make_fk_jump(topo: KinTopology):
         dtype = qpos.dtype
 
         # ---- local pass: parent-relative transforms, all bodies at once.
+        # Branches are STATICALLY PRUNED per slot: a slot only pays for the
+        # joint types it actually contains (e.g. the rodent's slots 1-2 are
+        # extra hinges only — the free/ball/slide math and the 7-wide qpos
+        # windows would be computed and discarded for every body). The
+        # where-chain selects are disjoint static masks, so dropping absent
+        # branches is value-preserving; FK is HBM-traffic-bound at batch,
+        # and this removes ~3/4 of the local pass's intermediate tensors.
         t = params.body_pos
         q = params.body_quat
         anchors_p = []
@@ -391,50 +419,70 @@ def make_fk_jump(topo: KinTopology):
             jid = slot_jid_c[:, s]
             jtype = topo.slot_type[:, s]
             qadr = topo.slot_qadr[:, s]
+            present = slot_types_present[s]
+            has_free = JNT_FREE in present
+            has_ball = JNT_BALL in present
+            has_hinge = JNT_HINGE in present
+            has_slide = JNT_SLIDE in present
 
             axis = params.jnt_axis[jid]
             jpos = params.jnt_pos[jid]
-            q1 = qpos[np.minimum(qadr, nq - 1)]
-            q0ref = params.qpos0[np.minimum(qadr, nq - 1)]
-            qv7 = qpos[np.minimum(qadr[:, None] + n7, nq - 1)]
+            if has_free or has_ball:
+                qv7 = (
+                    jnp.asarray(qv7_mats[s], qpos.dtype) @ qpos
+                ).reshape(topo.nbody, 7)
+                q1 = qv7[:, 0]
+            else:
+                qv7 = None
+                q1 = jnp.asarray(q1_mats[s], qpos.dtype) @ qpos
+            if has_hinge or has_slide:
+                q0ref = params.qpos0[np.minimum(qadr, nq - 1)]
+            if has_ball or has_hinge or has_slide:
+                anchor = t + qm.quat_rotate(q, jpos)
+                axis_w = qm.quat_rotate(q, axis)
 
-            anchor = t + qm.quat_rotate(q, jpos)
-            axis_w = qm.quat_rotate(q, axis)
+            # (mask, value) branch lists, built only for present types;
+            # masks are disjoint so the where-chain order is irrelevant.
+            pos_branches = []
+            quat_branches = []
+            if has_slide:
+                is_slide = jnp.asarray(jtype == JNT_SLIDE)[:, None]
+                pos_branches.append(
+                    (is_slide, t + axis_w * (q1 - q0ref)[:, None])
+                )
+            if has_hinge:
+                is_hinge = jnp.asarray(jtype == JNT_HINGE)[:, None]
+                hinge_qloc = qm.axis_angle_quat(axis, q1 - q0ref)
+                hinge_quat = qm.quat_mul(q, hinge_qloc)
+                pos_branches.append(
+                    (is_hinge, anchor - qm.quat_rotate(hinge_quat, jpos))
+                )
+                quat_branches.append((is_hinge, hinge_quat))
+            if has_ball:
+                is_ball = jnp.asarray(jtype == JNT_BALL)[:, None]
+                ball_qloc = qm.quat_normalize(qv7[:, :4])
+                ball_quat = qm.quat_mul(q, ball_qloc)
+                pos_branches.append(
+                    (is_ball, anchor - qm.quat_rotate(ball_quat, jpos))
+                )
+                quat_branches.append((is_ball, ball_quat))
+            if has_free:
+                is_free = jnp.asarray(jtype == JNT_FREE)[:, None]
+                free_pos = qv7[:, :3]
+                pos_branches.append((is_free, free_pos))
+                quat_branches.append((is_free, qm.quat_normalize(qv7[:, 3:7])))
 
-            is_free = jnp.asarray((jtype == JNT_FREE))[:, None]
-            is_ball = jnp.asarray((jtype == JNT_BALL))[:, None]
-            is_slide = jnp.asarray((jtype == JNT_SLIDE))[:, None]
-            is_hinge = jnp.asarray((jtype == JNT_HINGE))[:, None]
-
-            free_pos = qv7[:, :3]
-            free_quat = qm.quat_normalize(qv7[:, 3:7])
-
-            ball_qloc = qm.quat_normalize(qv7[:, :4])
-            ball_quat = qm.quat_mul(q, ball_qloc)
-            ball_pos = anchor - qm.quat_rotate(ball_quat, jpos)
-
-            hinge_qloc = qm.axis_angle_quat(axis, q1 - q0ref)
-            hinge_quat = qm.quat_mul(q, hinge_qloc)
-            hinge_pos = anchor - qm.quat_rotate(hinge_quat, jpos)
-
-            slide_pos = t + axis_w * (q1 - q0ref)[:, None]
-
-            t = jnp.where(
-                is_free,
-                free_pos,
-                jnp.where(
-                    is_ball,
-                    ball_pos,
-                    jnp.where(is_hinge, hinge_pos, jnp.where(is_slide, slide_pos, t)),
-                ),
-            )
-            q = jnp.where(
-                is_free,
-                free_quat,
-                jnp.where(is_ball, ball_quat, jnp.where(is_hinge, hinge_quat, q)),
-            )
-            anchors_p.append(jnp.where(is_free, free_pos, anchor))
-            axes_p.append(jnp.where(is_free, axis, axis_w))
+            for mask, val in pos_branches:
+                t = jnp.where(mask, val, t)
+            for mask, val in quat_branches:
+                q = jnp.where(mask, val, q)
+            anch = anchor if (has_ball or has_hinge or has_slide) else t
+            axw = axis_w if (has_ball or has_hinge or has_slide) else axis
+            if has_free:
+                anch = jnp.where(is_free, free_pos, anch)
+                axw = jnp.where(is_free, axis, axw)
+            anchors_p.append(anch)
+            axes_p.append(axw)
 
         # Worldbody stays the identity frame.
         t = t.at[0].set(jnp.zeros(3, dtype=dtype))

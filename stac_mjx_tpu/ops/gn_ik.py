@@ -73,12 +73,22 @@ class GNIK:
         fk_impl: str = "scan",
         linesearch: bool = True,
         spd_impl: str = "auto",
+        stall_iters: int = 3,
     ):
         """linesearch=False selects the flat LM schedule: exactly one
         FK/Jacobian/loss evaluation per iteration with accept/reject +
         damping adaptation, no nested while_loop. Under vmap a nested
         linesearch makes every frame pay the slowest frame's trial count;
-        the flat schedule keeps all lanes in lockstep."""
+        the flat schedule keeps all lanes in lockstep.
+
+        stall_iters: batched flat-LM early exit (VERDICT r3 #3a). A lane
+        that fails to improve its loss by more than ``tol`` for this many
+        consecutive iterations is FROZEN (its state stops updating), and
+        the loop exits once every lane is frozen — converged batches stop
+        paying FK/Jacobian/einsum/solve sweeps. Freezing is per-lane, so
+        each lane's result depends only on its own trajectory: batch
+        composition cannot change results, preserving the bitwise
+        chunked==single-program guarantee. 0 disables (fixed maxiter)."""
         self.topo = topo
         self.site_idxs = np.asarray(site_idxs)
         self.maxiter = maxiter
@@ -88,6 +98,15 @@ class GNIK:
         self.damping_dec = damping_dec
         self.max_bad_steps = max_bad_steps
         self.linesearch = linesearch
+        self.stall_iters = stall_iters
+        # Normal-equation contraction form in solve_batch. "jmat"
+        # materializes the (F, 3K, nv) Jacobian and contracts over its row
+        # axis; "cols" contracts the (F, K, nv, 3) cols tensor directly
+        # (no J materialization). Measured on v5e at F=2560: jmat 51.3 ms
+        # vs cols 57.7 ms per 16-iteration solve — XLA's fused
+        # transpose+dot beats the split (k, c) contraction, so jmat is the
+        # default; the knob stays for re-measurement on other topologies.
+        self.einsum_mode = "jmat"
         self.spd_solve = make_spd_solve(spd_impl)
         self.spd_solve_lanes = make_spd_solve_lanes(spd_impl)
         self.fk = (make_fk_jump if fk_impl == "jump" else make_fk)(topo)
@@ -200,8 +219,9 @@ class GNIK:
 
     # ------------------------------------------------------------- jacobian
 
-    def jacobian(self, fkres) -> jnp.ndarray:
-        """(3K, nv) site-position Jacobian from one FK pass."""
+    def jacobian_cols(self, fkres) -> jnp.ndarray:
+        """(K, nv, 3) Jacobian columns from one FK pass (cols[k, d, c] =
+        d p_k_c / d delta_d), before the (3K, nv) matrix reshape."""
         p = fkres.site_xpos[self.site_idxs]  # (K, 3)
         dtype = p.dtype
 
@@ -223,8 +243,17 @@ class GNIK:
         rel = p[:, None, :] - anchors[None, :, :]  # (K, nv, 3)
         rot_cols = jnp.cross(axes[None, :, :], rel)  # (K, nv, 3)
         cols = jnp.where(jnp.asarray(self.dof_rot)[None, :, None], rot_cols, axes[None, :, :])
-        cols = cols * jnp.asarray(self.site_dof_mask, dtype)[:, :, None]
-        # J[(k,c), d] = d p_k_c / d delta_d
+        return cols * jnp.asarray(self.site_dof_mask, dtype)[:, :, None]
+
+    def jacobian(self, fkres) -> jnp.ndarray:
+        """(3K, nv) site-position Jacobian from one FK pass.
+
+        J[(k,c), d] = d p_k_c / d delta_d. (The batched flat-LM path can
+        contract jacobian_cols directly instead — einsum_mode="cols" —
+        but the J-materializing form measured faster on v5e; see
+        __init__.)
+        """
+        cols = self.jacobian_cols(fkres)
         return jnp.transpose(cols, (0, 2, 1)).reshape(-1, self.nv)
 
     # ----------------------------------------------------- batched flat solve
@@ -299,7 +328,10 @@ class GNIK:
 
         fk_b = jax.vmap(self.fk, in_axes=(None, 0))
         jac_b = jax.vmap(self.jacobian)
+        cols_b = jax.vmap(self.jacobian_cols)
         retract_b = jax.vmap(self.retract)
+        K = len(self.site_idxs)
+        kmask3 = kmask.reshape(K, 3)
 
         def project(q):
             return jnp.where(clip_mask, jnp.clip(q, lb_c, ub_c), q)
@@ -309,23 +341,48 @@ class GNIK:
             return (p - kp_data) * kmask
 
         eye_l = eye[:, :, None]
+        stall_n = self.stall_iters if self.stall_iters > 0 else self.maxiter + 1
+        tol_gain = jnp.asarray(self.tol, dtype)
 
-        def body(k, state):
-            q, lam, f_x, fkres = state
+        def body(state):
+            k, q, lam, f_x, fkres, stall = state
+            # A lane is FROZEN once it stalls stall_n consecutive iters:
+            # its state stops updating, so its result is a function of its
+            # own trajectory only (batch-composition independent), and the
+            # loop exits when every lane is frozen.
+            active = stall < stall_n
             e = err_of(fkres)
-            J = jac_b(fkres) * (kmask[None, :, None] * dof_mask[:, None, :])
             # Normal equations built DIRECTLY in the Pallas kernel's
             # frames-in-lanes layout (n, n, F) — the einsum's output order
             # folds the relayout into the contraction epilogue instead of
-            # moving ~0.5 GB/iter of HBM through explicit transposes.
-            A_l = jnp.einsum("frd,fre->def", J, J) + lam[None, None, :] * eye_l
-            g_l = jnp.einsum("frd,fr->df", J, e)
+            # moving ~0.5 GB/iter of HBM through explicit transposes. See
+            # self.einsum_mode for the (measured) choice of contraction
+            # form.
+            if self.einsum_mode == "cols":
+                cols = cols_b(fkres) * (
+                    kmask3[None, :, None, :] * dof_mask[:, None, :, None]
+                )
+                A_l = (
+                    jnp.einsum("fkdc,fkec->def", cols, cols)
+                    + lam[None, None, :] * eye_l
+                )
+                g_l = jnp.einsum("fkdc,fkc->df", cols, e.reshape(F, K, 3))
+            else:
+                J = jac_b(fkres) * (
+                    kmask[None, :, None] * dof_mask[:, None, :]
+                )
+                A_l = (
+                    jnp.einsum("frd,fre->def", J, J)
+                    + lam[None, None, :] * eye_l
+                )
+                g_l = jnp.einsum("frd,fr->df", J, e)
             delta = -self.spd_solve_lanes(A_l, g_l).T * dof_mask
             q_new = project(retract_b(q, delta))
             fk_new = fk_b(params, q_new)
             e_new = err_of(fk_new)
             f_new = jnp.sum(e_new * e_new, axis=-1)
-            ok = f_new < f_x
+            ok = jnp.logical_and(f_new < f_x, active)
+            gain = jnp.where(ok, f_x - f_new, jnp.zeros_like(f_x))
             q = jnp.where(ok[:, None], q_new, q)
             f_x = jnp.where(ok, f_new, f_x)
             fkres = jax.tree_util.tree_map(
@@ -335,28 +392,40 @@ class GNIK:
                 fk_new,
                 fkres,
             )
-            lam = jnp.where(ok, lam * self.damping_dec, lam * self.damping_inc)
-            return q, lam, f_x, fkres
+            lam = jnp.where(
+                active,
+                jnp.where(ok, lam * self.damping_dec, lam * self.damping_inc),
+                lam,
+            )
+            stall = jnp.where(gain > tol_gain, 0, stall + 1)
+            return k + 1, q, lam, f_x, fkres, stall
+
+        def cond(state):
+            k, q, lam, f_x, fkres, stall = state
+            return jnp.logical_and(
+                k < self.maxiter, jnp.any(stall < stall_n)
+            )
 
         q_start = project(q0)
         fk0 = fk_b(params, q_start)
         e0 = err_of(fk0)
-        q, lam, f_x, _ = jax.lax.fori_loop(
-            0,
-            self.maxiter,
+        k, q, lam, f_x, _, _ = jax.lax.while_loop(
+            cond,
             body,
             (
+                jnp.asarray(0, jnp.int32),
                 q_start,
                 jnp.full((F,), self.damping_init, dtype),
                 jnp.sum(e0 * e0, axis=-1),
                 fk0,
+                jnp.zeros((F,), jnp.int32),
             ),
         )
         return PGResult(
             params=q[:F_orig],
             error=jnp.sqrt(f_x[:F_orig]),
             value=f_x[:F_orig],
-            iters=jnp.full((F_orig,), self.maxiter, jnp.int32),
+            iters=jnp.full((F_orig,), 1, jnp.int32) * k,
             stepsize=1.0 / (1.0 + lam[:F_orig]),
         )
 

@@ -53,6 +53,7 @@ class StacCore:
         q_solver: str = "pg",
         fk_impl: str = "scan",
         spd_impl: str = "auto",
+        gn_stall_iters: int = 3,
     ):
         """q_solver: "pg" (projected gradient, robust f32 defaults),
         "pg-jaxopt" (projected gradient locked to jaxopt 0.8.5
@@ -84,6 +85,7 @@ class StacCore:
                 fk_impl=fk_impl,
                 linesearch=(q_solver != "gn-lm"),
                 spd_impl=spd_impl,
+                stall_iters=gn_stall_iters,
             )
 
     # ------------------------------------------------------------------ q

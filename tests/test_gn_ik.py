@@ -298,3 +298,56 @@ def test_gn_lm_through_stac_core(free_chain):
         jnp.full(nq, jnp.inf),
     )
     assert float(res.value) < 1e-6
+
+
+def test_solve_batch_early_exit(free_chain):
+    """Flat-LM early exit (stall_iters): converged lanes freeze and the
+    while_loop exits once ALL lanes stall — at unchanged solution quality
+    vs the fixed-iteration schedule, and with per-lane results independent
+    of batch composition (the bitwise chunked==single guarantee)."""
+    topo, params, core, _ = free_chain
+    rng = np.random.default_rng(9)
+    nq = topo.nq
+    F = 5
+    q_true = np.stack([_rand_q(topo, params, rng, 0.2) for _ in range(F)])
+    kp = jax.vmap(lambda q: core.fk(params, q).site_xpos[:3].reshape(-1))(
+        jnp.asarray(q_true, jnp.float32)
+    )
+    kmask = jnp.ones(kp.shape[1], kp.dtype)
+    q0 = jnp.broadcast_to(params.qpos0, (F, nq))
+    lb = -jnp.full(nq, jnp.inf)
+    ub = jnp.full(nq, jnp.inf)
+    qs_all = jnp.ones(nq, bool)
+
+    gn_ee = GNIK(topo, np.arange(3), maxiter=40, tol=1e-12,
+                 linesearch=False, stall_iters=3)
+    gn_fix = GNIK(topo, np.arange(3), maxiter=40, tol=1e-12,
+                  linesearch=False, stall_iters=0)
+
+    ee = gn_ee.solve_batch(params, kp, qs_all, kmask, q0, lb, ub)
+    fix = gn_fix.solve_batch(params, kp, qs_all, kmask, q0, lb, ub)
+    # quality unchanged: both converge to the same marker residual
+    np.testing.assert_allclose(
+        np.asarray(ee.error), np.asarray(fix.error), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ee.params), np.asarray(fix.params), atol=1e-4
+    )
+    # and it actually exits early on this easy recovery problem
+    assert int(np.asarray(ee.iters)[0]) < 40, np.asarray(ee.iters)
+    assert int(np.asarray(fix.iters)[0]) == 40
+
+    # batch-composition independence: lane B solved alone == lane B in a
+    # batch with other lanes (bitwise), with early exit active
+    solo = gn_ee.solve_batch(
+        params, kp[2:3], qs_all, kmask, q0[2:3], lb, ub
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ee.params[2]), np.asarray(solo.params[0])
+    )
+
+    # already-at-optimum batch stalls immediately (exit after stall_iters)
+    at_opt = gn_ee.solve_batch(
+        params, kp, qs_all, kmask, jnp.asarray(ee.params), lb, ub
+    )
+    assert int(np.asarray(at_opt.iters)[0]) <= 6, np.asarray(at_opt.iters)
