@@ -21,15 +21,14 @@ prints the headline JSON, reporting dead legs as null in `detail`. Legs:
              the whole-program lax.scan replication of the reference's
              algorithm: sequential warm-started frames, 400-iter projected
              gradient, per-part refinement; stac_mjx/compute_stac.py:216-267).
-             Measured at the reference's execution shape (vmap over clips x
-             scan within clip) with 10-frame chains — single executions with
-             minutes-long sequential chains kill this box's tunnel-attached
-             worker (the 250-frame round-2 version did; 25-frame chains
-             still do) — and extrapolated to the headline workload's
-             250-frame clips (see leg_parity docstring for why that is
-             sound). The reference itself cannot run here (CUDA/MJX-bound),
-             so this is the honest apples-to-apples ratio: same math and
-             hardware, reference algorithm vs TPU-native execution.
+             MEASURED at the reference's own shape — 250-frame clips, vmap
+             over clips x scan within clip — by splitting the scan into
+             bounded-runtime 10-frame segment dispatches with the warm
+             start carried on device (stac.seq_segment_frames; bitwise
+             identical to the single scan, see leg docstring). The
+             reference itself cannot run here (CUDA/MJX-bound), so this is
+             the honest apples-to-apples ratio: same math and hardware,
+             reference algorithm vs TPU-native execution.
   * dispatch — detail-only: the reference's *dispatch* style (one jit call
              per frame per part from Python). Dominated by per-call tunnel
              latency on this box; reported for context, never the baseline.
@@ -58,9 +57,13 @@ LEG_PREFIX = "BENCH_LEG_JSON: "
 N_FIT = int(os.environ.get("STAC_BENCH_FIT_FRAMES", 250))
 CLIP = int(os.environ.get("STAC_BENCH_CLIP_FRAMES", 250))
 N_IK = int(os.environ.get("STAC_BENCH_IK_FRAMES", 10_000))
-N_PARITY = int(os.environ.get("STAC_BENCH_PARITY_FRAMES", 80))
-PARITY_CLIP = int(os.environ.get("STAC_BENCH_PARITY_CLIP", 10))
+N_PARITY = int(os.environ.get("STAC_BENCH_PARITY_FRAMES", 10_000))
+PARITY_CLIP = int(os.environ.get("STAC_BENCH_PARITY_CLIP", 250))
+PARITY_SEGMENT = int(os.environ.get("STAC_BENCH_PARITY_SEGMENT", 10))
 LEG_TIMEOUT_S = int(os.environ.get("STAC_BENCH_LEG_TIMEOUT", 1500))
+# The parity leg walks a full 250-frame sequential chain at ~4 s/frame
+# (~1000 s measured run + warmup + compiles) — it gets its own budget.
+PARITY_TIMEOUT_S = int(os.environ.get("STAC_BENCH_PARITY_TIMEOUT", 2700))
 
 
 def _fps(n_frames, fn):
@@ -149,6 +152,7 @@ def _load_offsets(state_path, stac):
 
 
 def leg_fit(state_path):
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -159,7 +163,44 @@ def leg_fit(state_path):
     fit_fps = _fps(N_FIT, lambda: stac.fit_offsets(kp_fit))
     if state_path:
         np.savez(state_path, offsets=np.asarray(stac._offsets))
-    return {"fit_offsets_fps": round(fit_fps, 2), "fit_frames": N_FIT}
+
+    # Lean payload e2e (offsets + qpos + errors only) and the device-only
+    # split of the same lean program (VERDICT r3 #6: the fit path gets the
+    # ik path's transfer discipline).
+    stac.fit_offsets(kp_fit, return_full=False)  # warmup lean compile
+    fit_lean_fps = _fps(
+        N_FIT, lambda: stac.fit_offsets(kp_fit, return_full=False)
+    )
+    lean_fn = stac._get_fit_fn(False, False)
+    fit_args = (stac.params, kp_fit, stac._lb, stac._ub,
+                stac._is_regularized)
+    jax.block_until_ready(lean_fn(*fit_args))
+    fit_dev_fps = _fps(
+        N_FIT, lambda: jax.block_until_ready(lean_fn(*fit_args))
+    )
+
+    # f16 wire variant (same knob as ik; compute stays f32 on device).
+    cfg16 = ns.compose_config(
+        "/root/repo/configs",
+        overrides=ns.throughput_overrides + ["stac.wire_dtype=float16"],
+    )
+    if ns.cfg.stac.data_path:
+        cfg16.stac.data_path = ns.cfg.stac.data_path
+    stac16 = ns.Stac(ns.xml, cfg16, ns.names)
+    kp_np = np.asarray(ns.kp_base[:N_FIT], np.float32)
+    stac16.fit_offsets(kp_np, return_full=False)  # warmup
+    fit_wire_fps = _fps(
+        N_FIT, lambda: stac16.fit_offsets(kp_np, return_full=False)
+    )
+
+    return {
+        "fit_offsets_fps": round(fit_fps, 2),
+        "fit_lean_e2e_fps": round(fit_lean_fps, 2),
+        "fit_lean_e2e_fps_wire_f16": round(fit_wire_fps, 2),
+        "fit_device_only_fps": round(fit_dev_fps, 2),
+        "fit_e2e_over_device": round(fit_lean_fps / fit_dev_fps, 3),
+        "fit_frames": N_FIT,
+    }
 
 
 def leg_ik(state_path):
@@ -207,6 +248,15 @@ def leg_ik(state_path):
     stac16.ik_only(kp_ik, offsets)  # warmup compile
     wire_fps = _fps(N_IK, lambda: stac16.ik_only(kp_ik, offsets))
 
+    # Transfer arithmetic (VERDICT r3 weak #2): bytes on the wire for the
+    # lean payload, and the tunnel bandwidth implied by the e2e-vs-device
+    # gap. h2d = keypoints up; d2h = qpos + per-frame errors down.
+    nq = stac.topo.nq
+    h2d_bytes = int(np.prod(batched.shape)) * 4
+    d2h_bytes = (N_IK * nq + N_IK) * 4
+    t_gap = N_IK / ik_e2e_fps - N_IK / ik_dev_fps
+    implied_mbps = (h2d_bytes + d2h_bytes) / 1e6 / t_gap if t_gap > 0 else None
+
     return {
         "ik_e2e_fps": round(ik_e2e_fps, 2),
         "ik_e2e_fps_wire_f16": round(wire_fps, 2),
@@ -217,30 +267,317 @@ def leg_ik(state_path):
         "ik_frames": N_IK,
         "ik_clips": N_IK // CLIP,
         "offsets_from_fit": fitted,
-        # e2e is transfer-bound on this box: the lean payload still moves
-        # ~2.8 MB H2D + ~3 MB D2H over a ~12 MB/s tunnel (~0.4 s — larger
-        # than the whole device solve). The chunked ik pipeline
-        # (stac.ik_chunk_clips) already overlaps transfers with compute;
-        # on production hosts (PCIe/ICI-attached chips) e2e ≈ device.
+        # e2e is transfer-bound on this box; the arithmetic below shows the
+        # gap is fully explained by wire bytes over the ~12 MB/s tunnel.
+        # The chunked ik pipeline (stac.ik_chunk_clips) already overlaps
+        # transfers with compute; on production hosts (PCIe/ICI-attached
+        # chips) e2e ≈ device.
+        "wire_bytes_h2d": h2d_bytes,
+        "wire_bytes_d2h": d2h_bytes,
+        "e2e_minus_device_s": round(t_gap, 4),
+        "implied_tunnel_MBps": (
+            round(implied_mbps, 2) if implied_mbps else None
+        ),
         "e2e_note": "tunnel-transfer-bound; chunked pipeline overlaps D2H/H2D with compute",
     }
 
 
+_PEAK_BF16_TFLOPS = {
+    # bf16 matmul peak per chip, used as the MFU denominator. Keyed by
+    # device_kind substring; override with STAC_TPU_PEAK_TFLOPS.
+    "v5 lite": 197.0,  # v5e
+    "v6 lite": 918.0,  # v6e / Trillium
+    "v5p": 459.0,
+    "v5": 459.0,
+    "v4": 275.0,
+}
+
+
+def _peak_tflops(device_kind: str):
+    env = os.environ.get("STAC_TPU_PEAK_TFLOPS")
+    if env:
+        return float(env), "env"
+    for key, val in _PEAK_BF16_TFLOPS.items():
+        if key in device_kind.lower().replace("tpu ", ""):
+            return val, f"table[{key}]"
+    return None, "unknown device"
+
+
+def leg_mfu(state_path):
+    """FLOP/MFU accounting + per-phase device-time breakdown (VERDICT r3 #2).
+
+    Times a family of whole-jitted fori_loop(16) programs at the headline ik
+    shape, each adding one phase of the flat-LM iteration — FK, analytic
+    Jacobian, normal-equation einsums, Pallas SPD solve, then the real
+    solve_batch (adds retract/accept/damping) — and attributes the iteration
+    cost to phases by differencing. Single whole-program wall times only
+    (standalone op timings are meaningless on this tunnel-attached box).
+    FLOPs come from XLA's own cost model (compiled.cost_analysis) when it
+    is available, else from the documented analytic count; MFU is reported
+    against the chip's bf16 matmul peak (the conventional denominator —
+    this is an f32 VPU+MXU workload, so treat it as a ceiling gap, not an
+    efficiency score).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ns = _setup()
+    stac = ns.Stac(ns.xml, ns.cfg, ns.names)
+    offsets, fitted = _load_offsets(state_path, stac)
+    gn = stac.stac_core_obj.gnik
+    params = stac.params.set_site_pos(
+        jnp.asarray(offsets, jnp.float32),
+        jnp.asarray(stac._body_site_idxs),
+    )
+
+    F = int(os.environ.get("STAC_BENCH_MFU_FRAMES", 2560))
+    nq = stac.topo.nq
+    nv, K = gn.nv, len(gn.site_idxs)
+    K3 = 3 * K
+    nbody = len(stac.topo.body_names)
+    ITERS = gn.maxiter
+
+    kp = jnp.asarray(
+        np.tile(ns.kp_base, (F // len(ns.kp_base) + 1, 1))[:F], jnp.float32
+    )
+    q0 = jnp.broadcast_to(params.qpos0, (F, nq))
+    q0 = q0.at[:, :3].set(kp[:, 3 * stac._root_kp_idx:3 * stac._root_kp_idx + 3])
+
+    kmask = jnp.ones(K3, jnp.float32)
+    eye_l = jnp.eye(nv, dtype=jnp.float32)[:, :, None]
+    fk_b = jax.vmap(gn.fk, in_axes=(None, 0))
+    jac_b = jax.vmap(gn.jacobian)
+
+    def make_stage(stage):
+        def body(i, carry):
+            q, acc = carry
+            # acc feeds back into q so no phase is loop-invariant-hoisted.
+            qq = q + 1e-20 * acc
+            fkres = fk_b(params, qq)
+            p = fkres.site_xpos[:, gn.site_idxs].reshape(F, -1)
+            out = jnp.mean(p)
+            if stage >= 2:
+                J = jac_b(fkres)
+                out = jnp.mean(J)
+            if stage >= 3:
+                e = (p - kp) * kmask
+                A_l = jnp.einsum("frd,fre->def", J, J) + 1e-4 * eye_l
+                g_l = jnp.einsum("frd,fr->df", J, e)
+                out = jnp.mean(A_l) + jnp.mean(g_l)
+            if stage >= 4:
+                delta = -gn.spd_solve_lanes(A_l, g_l).T
+                out = jnp.mean(delta)
+            return q, out.astype(q.dtype)
+
+        def run(q):
+            return jax.lax.fori_loop(0, ITERS, body, (q, jnp.float32(0.0)))
+
+        return run
+
+    def time_program(fn, *args, reps=3):
+        jitted = jax.jit(fn)
+        out = jitted(*args)  # compile + warmup
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            jax.block_until_ready(jitted(*args))
+            best = min(best, time.time() - t0)
+        return best, jitted
+
+    stage_names = ["fk", "jacobian", "einsum", "spd_solve"]
+    stage_t = {}
+    for s, name in enumerate(stage_names, start=1):
+        stage_t[name], _ = time_program(make_stage(s), q0)
+
+    qs_all = jnp.ones(nq, dtype=bool)
+
+    def full(q):
+        return gn.solve_batch(
+            params, kp, qs_all, kmask, q, stac._lb, stac._ub
+        ).params
+
+    # Attribution base: fixed-16 schedule (early exit off) so the stage
+    # deltas and the full program run the same iteration count; the real
+    # early-exit solver is timed separately below.
+    stall_iters = gn.stall_iters
+    gn.stall_iters = 0
+    t_full, _ = time_program(full, q0)
+    gn.stall_iters = stall_iters
+
+    def full_ee(q):
+        res = gn.solve_batch(
+            params, kp, qs_all, kmask, q, stac._lb, stac._ub
+        )
+        return res.params, res.iters
+
+    t_ee, jit_ee = time_program(full_ee, q0)
+    iters_run = int(np.asarray(jax.device_get(jit_ee(q0)[1]))[0])
+
+    # Op-level attribution from a real device trace (jax.profiler works on
+    # this backend): aggregate TPU op durations for one solve_batch run.
+    # This is the ground truth the stage-delta map above approximates —
+    # isolated stage programs fuse differently than the full program (r4
+    # measured the fk-only stage 3x slower than FK's share of the real
+    # program), so when the two disagree, trust this table.
+    top_ops = None
+    try:
+        import glob
+        import gzip
+        import tempfile
+        import collections
+
+        with tempfile.TemporaryDirectory() as td:
+            jit_full2 = jax.jit(full)
+            jax.block_until_ready(jit_full2(q0))
+            with jax.profiler.trace(td):
+                jax.block_until_ready(jit_full2(q0))
+            paths = glob.glob(
+                os.path.join(td, "**", "*.trace.json.gz"), recursive=True
+            )
+            if paths:
+                with gzip.open(paths[0]) as fh:
+                    trace = json.load(fh)
+                pids = {
+                    e["pid"]: e["args"].get("name", "")
+                    for e in trace["traceEvents"]
+                    if e.get("ph") == "M" and e.get("name") == "process_name"
+                }
+                durs = collections.Counter()
+                cats = {}
+                for e in trace["traceEvents"]:
+                    if e.get("ph") == "X" and "TPU" in pids.get(
+                        e.get("pid"), ""
+                    ):
+                        name = e["name"]
+                        if name.startswith("jit_") or name.startswith(
+                            "while"
+                        ):
+                            continue  # wrappers, not ops
+                        durs[name] += e.get("dur", 0)
+                        cats.setdefault(
+                            name,
+                            e.get("args", {}).get("hlo_category", ""),
+                        )
+                total = sum(durs.values())
+                top_ops = {
+                    "total_op_us": round(total, 1),
+                    "ops": [
+                        {
+                            "op": name,
+                            "us": round(d, 1),
+                            "pct": round(100 * d / total, 1),
+                            "category": cats.get(name, ""),
+                        }
+                        for name, d in durs.most_common(8)
+                    ],
+                    "copy_formatting_pct": round(
+                        100
+                        * sum(
+                            d
+                            for nm, d in durs.items()
+                            if cats.get(nm) == "data formatting"
+                        )
+                        / total,
+                        1,
+                    ),
+                }
+    except Exception as exc:  # trace support varies by backend
+        top_ops = {"error": str(exc)[:200]}
+
+    # Phase attribution by differencing the cumulative programs.
+    cum = [stage_t[n] for n in stage_names]
+    phase_s = {
+        "fk": cum[0],
+        "jacobian": cum[1] - cum[0],
+        "einsum": cum[2] - cum[1],
+        "spd_solve": cum[3] - cum[2],
+        "retract_accept": t_full - cum[3],
+    }
+    phase_pct = {
+        k: round(100.0 * v / t_full, 1) for k, v in phase_s.items()
+    }
+
+    # FLOPs: the documented analytic count is the MFU basis (XLA's
+    # cost_analysis under-reports through fusions — measured 6.6x below
+    # the bare einsum count on CPU — so it's recorded as a cross-reference
+    # only).
+    xla_flops = None
+    try:
+        ca = jax.jit(full).lower(q0).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and ca.get("flops"):
+            xla_flops = float(ca["flops"])
+    except Exception:
+        pass
+    # Analytic count of one LM iteration (per frame):
+    #   einsum A   2*K3*nv^2          einsum g  2*K3*nv
+    #   Cholesky   nv^3/3 + 4*nv^2 (two triangular substitutions)
+    #   Jacobian   ~15*K*nv (cross+masks) + ~30*nbody (quat->mat)
+    #   FK (jump)  ~61*nbody*ceil(log2 depth) (quat mul + rotate + add)
+    #   retract/accept/loss ~ 25*nq + 6*K3
+    depth_rounds = max(int(np.ceil(np.log2(max(2, nbody)))), 1)
+    analytic_iter = F * (
+        2 * K3 * nv**2
+        + 2 * K3 * nv
+        + nv**3 / 3
+        + 4 * nv**2
+        + 15 * K * nv
+        + 30 * nbody
+        + 61 * nbody * depth_rounds
+        + 25 * nq
+        + 6 * K3
+    )
+    analytic_total = analytic_iter * ITERS
+
+    device_tflops = analytic_total / t_full / 1e12
+    kind = jax.devices()[0].device_kind
+    peak, peak_src = _peak_tflops(kind)
+    out = {
+        "mfu_frames": F,
+        "mfu_lm_iters": ITERS,
+        "phase_seconds": {k: round(v, 5) for k, v in phase_s.items()},
+        "phase_pct": phase_pct,
+        "solve_batch_wall_s": round(t_full, 5),
+        "solve_batch_fps": round(F / t_full, 1),
+        "solve_batch_wall_s_early_exit": round(t_ee, 5),
+        "solve_batch_fps_early_exit": round(F / t_ee, 1),
+        "early_exit_iters_run": iters_run,
+        "trace_top_ops": top_ops,
+        "flops_analytic_total": analytic_total,
+        "flops_xla_cost_analysis": xla_flops,
+        "device_tflops": round(device_tflops, 4),
+        "mfu_note": (
+            "denominator is the chip's bf16 matmul peak; this is a "
+            "small-matrix f32 workload, so MFU reads as ceiling gap"
+        ),
+    }
+    if peak:
+        out["peak_bf16_tflops"] = peak
+        out["peak_source"] = peak_src
+        out["mfu_pct"] = round(100.0 * device_tflops / peak, 3)
+    return out
+
+
 def leg_parity(state_path, n_frames):
-    """Reference-parity whole-program mode, at a survivable chain depth.
+    """Reference-parity mode, MEASURED at the reference's own clip shape.
 
     The parity program is scan(sequential frames) vmapped over clips. A
-    single program execution whose sequential chain runs for minutes kills
-    this box's tunnel-attached TPU worker (measured: 10-frame chains at
-    ~3.8 s/frame survive; 25+-frame chains die), so the leg measures the
-    reference's exact execution shape — vmap over clips x scan within clip —
-    at clip length PARITY_CLIP and extrapolates to the headline workload's
-    250-frame clips. The extrapolation is sound because (a) the per-frame
-    chain cost is constant inside the scan and (b) vmap width is free here
-    (measured: 8 parallel chains run in the same wall time as 1 — the
-    sequential chain is latency-bound, which is exactly the architectural
-    contrast this benchmark exists to show).
+    single program whose sequential chain runs for minutes kills this box's
+    tunnel-attached TPU worker (r2 lost the whole bench to one; 25+-frame
+    chains die), so the scan is split into bounded-runtime 10-frame segment
+    dispatches with the warm-start carried on device
+    (stac.seq_segment_frames — numerically identical to the single scan by
+    construction, asserted bitwise in
+    tests/test_pipeline.py::test_ik_sequential_segments_match_monolithic).
+    The chain is still strictly sequential compute, so this measures — not
+    extrapolates — the parity architecture at PARITY_CLIP(=250)-frame clips
+    on the headline workload's clip grid (VERDICT r3 #1).
     """
+    import numpy as np
+
     clip = PARITY_CLIP
     n_frames = max(clip, (n_frames // clip) * clip)
     ns = _setup()
@@ -251,27 +588,38 @@ def leg_parity(state_path, n_frames):
             "stac.pose_mode=sequential",
             "stac.q_solver=pg-jaxopt",
             "stac.ik_return_full=false",
+            f"stac.seq_segment_frames={PARITY_SEGMENT}",
         ],
     )
     par = ns.Stac(ns.xml, par_cfg, ns.names)
     offsets, fitted = _load_offsets(state_path, par)
-    kp_par = ns.kp_base[:n_frames]
-    par.ik_only(kp_par, offsets)  # warmup compile
+    kp_par = np.tile(ns.kp_base, (n_frames // len(ns.kp_base) + 1, 1))[
+        :n_frames
+    ]
+    n_clips = n_frames // clip
+
+    # Warmup: compile the first-segment and rest-segment programs at the
+    # measured run's exact shapes (C clips x PARITY_SEGMENT frames) on a
+    # 2-segment mini-clip; the measured run then hits the jit cache.
+    par.cfg.stac.n_frames_per_clip = 2 * PARITY_SEGMENT
+    par.ik_only(kp_par[: n_clips * 2 * PARITY_SEGMENT], offsets)
+    par.cfg.stac.n_frames_per_clip = clip
+
     t0 = time.time()
     par.ik_only(kp_par, offsets)
     wall = time.time() - t0
     measured_fps = n_frames / wall
-    # Per-frame cost of one sequential chain; the headline workload would
-    # run 250-frame chains (40 clips vmapped, width free) — its fps is
-    # N_IK / (chain_s_per_frame * CLIP).
     chain_s_per_frame = wall / clip
-    extrapolated = N_IK / (chain_s_per_frame * CLIP)
     return {
-        "baseline_parity_mode_fps": round(extrapolated, 3),
+        # Measured at full 250-frame chains (no extrapolation): the wall
+        # time of n_clips vmapped chains of `clip` sequential frames.
+        "baseline_parity_mode_fps": round(measured_fps, 3),
         "parity_measured_fps_at_shape": round(measured_fps, 3),
         "parity_chain_s_per_frame": round(chain_s_per_frame, 3),
         "parity_clip_frames": clip,
+        "parity_clips": n_clips,
         "parity_frames": n_frames,
+        "parity_segment_frames": PARITY_SEGMENT,
         "offsets_from_fit": fitted,
     }
 
@@ -330,6 +678,8 @@ def run_leg(name, args):
         out = leg_parity(args.state, args.frames)
     elif name == "dispatch":
         out = leg_dispatch(args.state)
+    elif name == "mfu":
+        out = leg_mfu(args.state)
     else:
         raise SystemExit(f"unknown leg {name}")
     import jax
@@ -346,12 +696,13 @@ def spawn_leg(name, state_path, extra=()):
     """Run one leg in a subprocess; return (dict or None, diagnostic str)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--leg", name,
            "--state", state_path, *extra]
+    timeout_s = PARITY_TIMEOUT_S if name == "parity" else LEG_TIMEOUT_S
     try:
         proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=LEG_TIMEOUT_S
+            cmd, capture_output=True, text=True, timeout=timeout_s
         )
     except subprocess.TimeoutExpired:
-        return None, f"timeout after {LEG_TIMEOUT_S}s"
+        return None, f"timeout after {timeout_s}s"
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith(LEG_PREFIX):
             try:
@@ -407,12 +758,16 @@ def main() -> int:
         dispatch, diag = spawn_leg("dispatch", state)
         notes["dispatch"] = diag
 
-    for leg in (fit, ik, parity, dispatch):
+        mfu, diag = spawn_leg("mfu", state)
+        notes["mfu"] = diag
+
+    for leg in (fit, ik, parity, dispatch, mfu):
         if leg:
             detail.update(leg)
     detail["baseline_parity_mode"] = (
         "pg-jaxopt sequential scan, 400 PG iters + part refinement, "
-        "whole-program (per-frame rate; see module docstring)"
+        "measured at 250-frame clips via bitwise-identical segmented "
+        "dispatches (see module docstring)"
     )
     detail["leg_status"] = notes
 
