@@ -274,6 +274,137 @@ class Stac:
             fn = self._fit_fns[(return_full, wire16)] = jax.jit(fit)
         return fn
 
+    def _fit_offsets_segmented(self, kp_host, return_full, seg):
+        """Sequential (parity) fit as bounded-runtime dispatches.
+
+        The monolithic fit program runs the whole alternation — root,
+        N_ITERS x (pose scan over every fit frame, m-phase), final pose
+        scan — as ONE program; at reference scale (250 frames x 400 PG
+        iters x 7 passes) that is a multi-hour sequential program, which
+        kills watchdogged/tunnel-attached TPU workers just like the ik
+        case. Here each pose pass's scan is split into `seg`-frame
+        segment dispatches (reusing ik_sequential_segment with C=1; the
+        warm-start carry chains across segments AND passes exactly like
+        the monolithic program's persistent q), and the m-phase runs as
+        its own small jitted program between passes. Same operations in
+        the same order — results match the monolithic program to fp-
+        fusion noise (tests/test_pipeline.py::test_fit_sequential_segmented
+        bounds it).
+
+        Returns the fit_offsets output dict (same schema as
+        pipeline.fit_offsets_program).
+        """
+        core, cfg = self.stac_core_obj, self._static_cfg
+        kp = jnp.asarray(kp_host)
+        F = kp_host.shape[0]
+        nq = self.params.qpos0.shape[0]
+
+        key = ("fitseg", return_full)
+        fns = self._fit_fns.get(key)
+        if fns is None:
+
+            def root_fn(params, kp0, lb, ub):
+                return pipeline.root_optimization(
+                    core, cfg, params, kp0, params.qpos0, lb, ub
+                )
+
+            def seg_fn(params, kp_seg, q_carry, offs, lb, ub):
+                return pipeline.ik_sequential_segment(
+                    core, cfg, params, kp_seg, q_carry, offs, lb, ub,
+                    return_full=False, first_segment=False,
+                )
+
+            def seg_full_fn(params, kp_seg, q_carry, offs, lb, ub):
+                return pipeline.ik_sequential_segment(
+                    core, cfg, params, kp_seg, q_carry, offs, lb, ub,
+                    return_full=True, first_segment=False,
+                )
+
+            def m_fn(params, kp_all, offs, qposes, is_reg):
+                params = params.set_site_pos(
+                    offs, jnp.asarray(core.site_idxs)
+                )
+                _, new_offs, m_err = pipeline.offset_optimization(
+                    core, cfg, params, kp_all, offs, qposes, is_reg
+                )
+                return new_offs, m_err
+
+            fns = self._fit_fns[key] = (
+                jax.jit(root_fn),
+                jax.jit(seg_fn),
+                jax.jit(seg_full_fn),
+                jax.jit(m_fn),
+            )
+        root_fn, seg_fn, seg_full_fn, m_fn = fns
+
+        offsets = self.params.site_pos[jnp.asarray(self._body_site_idxs)]
+        params = self.params
+        if cfg.do_root_opt and cfg.root_kp_idx >= 0:
+            q = root_fn(
+                params.set_site_pos(offsets, jnp.asarray(core.site_idxs)),
+                kp[0], self._lb, self._ub,
+            )
+        else:
+            q = params.qpos0
+        jax.block_until_ready(q)
+
+        def pose_pass(q_carry, full):
+            """One warm-started pass over all fit frames, segment-wise."""
+            qs, errs, extras = [], [], []
+            for s0 in range(0, F, seg):
+                fn = seg_full_fn if full else seg_fn
+                res = fn(
+                    params,
+                    kp[None, s0 : s0 + seg],
+                    q_carry[None],
+                    offsets,
+                    self._lb,
+                    self._ub,
+                )
+                q_carry = res[0][0]
+                jax.block_until_ready(q_carry)  # bound worker queue depth
+                qs.append(res[1][0])
+                errs.append(res[-1][0])
+                if full:
+                    extras.append(tuple(a[0] for a in res[2:-1]))
+            qposes = jnp.concatenate(qs, axis=0)
+            errors = jnp.concatenate(errs, axis=0)
+            if not full:
+                return q_carry, qposes, errors, None
+            xp, xq, ms = (
+                jnp.concatenate([e[i] for e in extras], axis=0)
+                for i in range(3)
+            )
+            return q_carry, qposes, errors, (xp, xq, ms)
+
+        iter_frame, iter_m = [], []
+        for _ in range(cfg.n_iters):
+            q, qposes, errors, _ = pose_pass(q, full=False)
+            offsets, m_err = m_fn(
+                params, kp, offsets, qposes, self._is_regularized
+            )
+            iter_frame.append(errors)
+            iter_m.append(m_err)
+
+        q, qposes, errors, extras = pose_pass(q, full=return_full)
+
+        out = {
+            "qpos": qposes,
+            "offsets": offsets,
+            "frame_error": errors,
+            "iter_frame_errors": (
+                jnp.stack(iter_frame)
+                if iter_frame
+                else jnp.zeros((0, F), kp.dtype)
+            ),
+            "iter_m_errors": (
+                jnp.stack(iter_m) if iter_m else jnp.zeros((0,), kp.dtype)
+            ),
+        }
+        if return_full:
+            out["xpos"], out["xquat"], out["marker_sites"] = extras
+        return out
+
     def fit_offsets(self, kp_data, return_full=None) -> io.StacData:
         """Alternating pose/offset calibration as one compiled program.
 
@@ -292,6 +423,11 @@ class Stac:
             return_full = bool(self.cfg.stac.get("fit_return_full", True))
         wire16 = self._wire_dtype == "float16"
         kp_host = np.asarray(kp_data, dtype=np.float32)
+        # Sequential (parity) mode: run the alternation as bounded-runtime
+        # segment dispatches (see _fit_offsets_segmented) — the monolithic
+        # fit program's hours-long sequential chain kills watchdogged
+        # workers at reference scale, exactly like the ik case.
+        seg = 0 if wire16 else self._seq_segment_frames(kp_host.shape[0])
         if wire16:
             center = (
                 kp_host.reshape(-1, 3)
@@ -322,10 +458,13 @@ class Stac:
             )
 
         with profiling.phase("fit_offsets"):
-            out = fit_fn(
-                self.params, *fit_args, self._lb, self._ub,
-                self._is_regularized,
-            )
+            if seg:
+                out = self._fit_offsets_segmented(kp_host, return_full, seg)
+            else:
+                out = fit_fn(
+                    self.params, *fit_args, self._lb, self._ub,
+                    self._is_regularized,
+                )
             # One batched D2H pull for the whole result pytree (per-array
             # np.asarray pays the transfer-latency once per array).
             out = jax.device_get(out)

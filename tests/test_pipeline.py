@@ -360,6 +360,36 @@ def test_wire_dtype_rejects_unknown():
         Stac("models/firstparty.xml", cfg, list(firstparty.KEYPOINTS))
 
 
+def test_fit_sequential_segmented_matches_monolithic():
+    """Segmented parity FIT (bounded-runtime dispatches; same scan split
+    as the ik path, m-phase as its own program between passes) reproduces
+    the monolithic fit program: offsets through the closed-form m-phase
+    are fp-tight; qpos gets the usual near-redundant-dof latitude."""
+    common = [
+        "stac.pose_mode=sequential",
+        "stac.q_solver=pg",
+        "model.N_ITER_Q=15",
+        "model.N_ITERS=2",
+        "model.N_SAMPLE_FRAMES=6",
+        "stac.skip_part_opt=true",
+    ]
+    _, mono, kp = _critter(common + ["stac.seq_segment_frames=-1"])
+    _, seg, _ = _critter(common + ["stac.seq_segment_frames=3"])
+
+    f_m = mono.fit_offsets(kp)
+    f_s = seg.fit_offsets(kp)
+    np.testing.assert_allclose(f_s.offsets, f_m.offsets, atol=1e-6)
+    np.testing.assert_allclose(
+        f_s.marker_sites, f_m.marker_sites, atol=1e-4
+    )
+    np.testing.assert_allclose(f_s.qpos, f_m.qpos, atol=1e-3)
+
+    # lean payload rides the same segmented driver
+    f_l = seg.fit_offsets(kp, return_full=False)
+    np.testing.assert_allclose(f_l.offsets, f_s.offsets, atol=1e-7)
+    assert f_l.xpos.size == 0
+
+
 def test_fit_lean_payload_and_resume(tmp_path):
     """fit_return_full=false: identical offsets/qpos with an empty
     xpos/xquat/marker payload, and the lean fit h5 still drives an ik
