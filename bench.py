@@ -423,66 +423,16 @@ def leg_mfu(state_path):
     # program), so when the two disagree, trust this table.
     top_ops = None
     try:
-        import glob
-        import gzip
         import tempfile
-        import collections
+
+        from stac_mjx_tpu.utils import profiling
 
         with tempfile.TemporaryDirectory() as td:
             jit_full2 = jax.jit(full)
             jax.block_until_ready(jit_full2(q0))
-            with jax.profiler.trace(td):
+            with profiling.device_trace(td):
                 jax.block_until_ready(jit_full2(q0))
-            paths = glob.glob(
-                os.path.join(td, "**", "*.trace.json.gz"), recursive=True
-            )
-            if paths:
-                with gzip.open(paths[0]) as fh:
-                    trace = json.load(fh)
-                pids = {
-                    e["pid"]: e["args"].get("name", "")
-                    for e in trace["traceEvents"]
-                    if e.get("ph") == "M" and e.get("name") == "process_name"
-                }
-                durs = collections.Counter()
-                cats = {}
-                for e in trace["traceEvents"]:
-                    if e.get("ph") == "X" and "TPU" in pids.get(
-                        e.get("pid"), ""
-                    ):
-                        name = e["name"]
-                        if name.startswith("jit_") or name.startswith(
-                            "while"
-                        ):
-                            continue  # wrappers, not ops
-                        durs[name] += e.get("dur", 0)
-                        cats.setdefault(
-                            name,
-                            e.get("args", {}).get("hlo_category", ""),
-                        )
-                total = sum(durs.values())
-                top_ops = {
-                    "total_op_us": round(total, 1),
-                    "ops": [
-                        {
-                            "op": name,
-                            "us": round(d, 1),
-                            "pct": round(100 * d / total, 1),
-                            "category": cats.get(name, ""),
-                        }
-                        for name, d in durs.most_common(8)
-                    ],
-                    "copy_formatting_pct": round(
-                        100
-                        * sum(
-                            d
-                            for nm, d in durs.items()
-                            if cats.get(nm) == "data formatting"
-                        )
-                        / total,
-                        1,
-                    ),
-                }
+            top_ops = profiling.op_table(td, top=8)
     except Exception as exc:  # trace support varies by backend
         top_ops = {"error": str(exc)[:200]}
 

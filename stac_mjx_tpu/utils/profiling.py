@@ -86,3 +86,77 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def op_table(logdir: str, device_substr: str = "TPU", top: int = 12) -> dict:
+    """Aggregate per-op device time from a ``device_trace`` output dir.
+
+    Parses the Chrome-trace json the profiler wrote under ``logdir`` and
+    sums durations per HLO op on devices whose process name contains
+    ``device_substr`` (pass "CPU" to inspect host-backend traces). This is
+    the GROUND TRUTH for attribution: timing isolated sub-programs
+    misleads because XLA fuses them differently than the full program
+    (bench.py's mfu leg measured an FK-only loop 3x slower than FK's real
+    share of the solver it was meant to explain).
+
+    Returns {"total_op_us", "ops": [{op, us, pct, category}, ...],
+    "copy_formatting_pct"}; empty ops list if no trace/device matched.
+    """
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import os as _os
+
+    paths = sorted(
+        glob.glob(
+            _os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True
+        )
+    )
+    if not paths:
+        return {"total_op_us": 0.0, "ops": [], "copy_formatting_pct": 0.0}
+    with gzip.open(paths[-1]) as fh:
+        trace = _json.load(fh)
+    events = trace.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    durs: dict[str, float] = collections.Counter()
+    cats: dict[str, str] = {}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if device_substr not in pids.get(e.get("pid"), ""):
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_") or name.startswith("while"):
+            continue  # program wrappers, not ops
+        durs[name] += e.get("dur", 0)
+        cats.setdefault(name, e.get("args", {}).get("hlo_category", ""))
+    total = sum(durs.values())
+    if not total:
+        return {"total_op_us": 0.0, "ops": [], "copy_formatting_pct": 0.0}
+    return {
+        "total_op_us": round(total, 1),
+        "ops": [
+            {
+                "op": name,
+                "us": round(d, 1),
+                "pct": round(100 * d / total, 1),
+                "category": cats.get(name, ""),
+            }
+            for name, d in collections.Counter(durs).most_common(top)
+        ],
+        "copy_formatting_pct": round(
+            100
+            * sum(
+                d
+                for nm, d in durs.items()
+                if cats.get(nm) == "data formatting"
+            )
+            / total,
+            1,
+        ),
+    }

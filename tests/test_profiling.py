@@ -30,3 +30,27 @@ def test_device_trace_smoke(tmp_path):
 def test_phase_registry_reset():
     profiling.reset()
     assert profiling.report() == {}
+
+
+def test_op_table_from_device_trace(tmp_path):
+    """device_trace + op_table round-trip on the host backend: the parser
+    returns the documented structure (op rows appear when the backend
+    emits op events; the TPU path is exercised by bench.py's mfu leg)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stac_mjx_tpu.utils import profiling
+
+    fn = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    jax.block_until_ready(fn(x))
+    with profiling.device_trace(str(tmp_path)):
+        jax.block_until_ready(fn(x))
+
+    table = profiling.op_table(str(tmp_path), device_substr="CPU")
+    assert set(table) == {"total_op_us", "ops", "copy_formatting_pct"}
+    for row in table["ops"]:
+        assert set(row) == {"op", "us", "pct", "category"}
+    # an empty dir parses to the empty table, not an exception
+    empty = profiling.op_table(str(tmp_path / "nope"))
+    assert empty["ops"] == []
