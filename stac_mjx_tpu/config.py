@@ -90,9 +90,28 @@ class StacConfig:
     # Batched flat-LM early exit: a lane improving its loss by <= FTOL^2
     # for this many consecutive iterations freezes (per lane, so batch
     # composition cannot change results); the loop exits when all lanes
-    # are frozen. Pays off on warm-started passes (fit alternations);
-    # 0 disables (fixed 16-iteration schedule).
-    gn_stall_iters: int = 3
+    # are frozen. MEASURED on the v5e flagship workloads to be a strict
+    # loss and therefore DISABLED by default: lockstep lanes pay for the
+    # vectorized sweep whether frozen or not, the while_loop only exits
+    # when every lane froze (never happens before maxiter with 10k lanes
+    # — bench mfu leg: early_exit_iters_run == maxiter, fps -5%), and a
+    # lane freezing after stall_iters consecutive REJECTED LM steps skips
+    # the damping adaptation that would have made progress (+0.08 mm ik
+    # residual at 3). Opt in (>0) only for small warm-started batches
+    # where all lanes genuinely converge early.
+    gn_stall_iters: int = 0
+    # Flat-LM damping adaptation: "nielsen" (gain-ratio rule, Madsen-
+    # Nielsen-Tingleff alg. 3.16, with f32-safety adaptations — see
+    # ops/gn_ik.py) or "fixed" (lam x10 on reject, x0.2 on accept).
+    # Measured on the v5e rodent ik workload (same fps at equal
+    # iterations): nielsen residual 2.169/2.109/2.083/2.074 mm at
+    # 10/12/14/16 iters vs fixed 2.621/2.402/2.264/2.176 — nielsen
+    # strictly dominates, so it is the default.
+    gn_damping_rule: str = "nielsen"
+    # Flat-LM iteration cap: 0 = auto (min(N_ITER_Q, 14) — the measured
+    # knee of the nielsen quality/throughput curve: 62k frames/s/chip at
+    # 2.083 mm vs 56k at 2.074 mm with 16). Explicit values win.
+    gn_iters: int = 0
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
     # ik_only result payload: True returns/transfers qpos+xpos+xquat+markers
     # (the reference's full h5 schema); False returns qpos+errors only —

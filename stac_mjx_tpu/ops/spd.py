@@ -25,6 +25,7 @@ precision). The damped diagonal keeps A nonsingular on masked dof columns.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,15 +34,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128  # f32 lane tile
+# Cholesky panel width (columns per fused rank-B Schur update). Measured on
+# v5e (rodent ik, n=73): 8 is the knee — see _chol_solve_kernel docstring.
+PANEL = int(os.environ.get("STAC_SPD_PANEL", "8"))
 
 
 def _chol_solve_kernel(
-    a_ref, g_ref, x_ref, lt_ref, *, n: int, width: int, panel: int = 8
+    a_ref, g_ref, lam_ref, x_ref, lt_ref, *, n: int, width: int, panel: int = PANEL
 ):
-    """Solve A x = g for a block of ``width`` frames (a lane-tile multiple).
+    """Solve (A + lam I) x = g for a block of ``width`` frames.
 
     a_ref: (n, n, width) — a_ref[r, c, f] = A_f[r, c] (symmetric SPD)
     g_ref: (1, n, width), x_ref: (1, n, width) — coefficients in sublanes.
+    lam_ref: (1, width) — per-frame damping added to A's diagonal IN VMEM
+    (one fused pass over the already-resident block), so LM callers skip
+    XLA's (lam*I + A) add — a full HBM read+write of the (F, n, n) tensor
+    per iteration (~7% of ik device time at 10k frames, bench r4 trace).
     lt_ref: (n, n, width) VMEM scratch for Lᵀ — each factor step STORES its
     column row-wise (a (n, width) store at a static index) instead of
     select-updating the whole block, which cost a full read+write of the
@@ -69,6 +77,9 @@ def _chol_solve_kernel(
 
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    # Damped diagonal: a += lam * I as one block pass in VMEM.
+    lam_b = lam_ref[:][None]  # (1, 1, width)
+    a = a + jnp.where(row_ids == sub_ids, lam_b, jnp.zeros_like(lam_b))
 
     # sqrtd[0, j, f] = L_f[j, j]; y built during the factor loop.
     sqrtd = jnp.zeros((1, n, width), dtype)
@@ -133,8 +144,15 @@ def _block_width(n: int, F: int) -> int:
     return LANE
 
 
-def _spd_solve_lanes(A_nnf: jnp.ndarray, g_nf: jnp.ndarray, interpret: bool):
-    """Kernel entry on the lanes layout: A (n, n, F), g (n, F) → x (n, F)."""
+def _spd_solve_lanes(
+    A_nnf: jnp.ndarray,
+    g_nf: jnp.ndarray,
+    lam_f: jnp.ndarray,
+    interpret: bool,
+):
+    """Kernel entry on the lanes layout: (A + diag(lam)) x = g.
+
+    A (n, n, F), g (n, F), lam (F,) → x (n, F)."""
     n, _, F = A_nnf.shape
     assert F % LANE == 0
     # interpret mode (CPU tests) emulates the whole block elementwise —
@@ -148,6 +166,7 @@ def _spd_solve_lanes(A_nnf: jnp.ndarray, g_nf: jnp.ndarray, interpret: bool):
         in_specs=[
             pl.BlockSpec((n, n, width), lambda i: (0, 0, i)),
             pl.BlockSpec((1, n, width), lambda i: (0, 0, i)),
+            pl.BlockSpec((1, width), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((1, n, width), lambda i: (0, 0, i)),
         scratch_shapes=[pltpu.VMEM((n, n, width), A_nnf.dtype)],
@@ -158,21 +177,31 @@ def _spd_solve_lanes(A_nnf: jnp.ndarray, g_nf: jnp.ndarray, interpret: bool):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(A_nnf, g_nf[None]).reshape(n, F)
+    )(A_nnf, g_nf[None], lam_f[None]).reshape(n, F)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spd_solve_pallas_lanes(
-    A_l: jnp.ndarray, g_l: jnp.ndarray, interpret: bool = False
+    A_l: jnp.ndarray,
+    g_l: jnp.ndarray,
+    lam: jnp.ndarray | None = None,
+    interpret: bool = False,
 ):
-    """Lanes-layout entry: A (n, n, F), g (n, F) → x (n, F).
+    """Lanes-layout entry: (A + diag(lam)) x = g, lam optional per-frame.
+
+    A (n, n, F), g (n, F), lam (F,) or None → x (n, F).
 
     For callers that can PRODUCE the normal equations directly in the
     kernel's frames-in-lanes layout (einsum output order "...->deF"), this
     skips the (F,n,n)↔(n,n,F) relayouts of `spd_solve_pallas` — at 10k
-    frames those move ~0.5 GB of HBM per iteration.
+    frames those move ~0.5 GB of HBM per iteration. Passing LM damping via
+    ``lam`` (instead of adding lam*I to A in XLA) additionally saves a
+    full HBM read+write of A per iteration: the add happens on the VMEM-
+    resident block inside the kernel.
     """
     n, _, F = A_l.shape
+    if lam is None:
+        lam = jnp.zeros((F,), A_l.dtype)
     Fp = ((F + LANE - 1) // LANE) * LANE
     if Fp != F:
         pad = Fp - F
@@ -181,7 +210,8 @@ def spd_solve_pallas_lanes(
         )
         A_l = jnp.concatenate([A_l, eye], axis=-1)
         g_l = jnp.concatenate([g_l, jnp.zeros((n, pad), g_l.dtype)], axis=-1)
-    return _spd_solve_lanes(A_l, g_l, interpret)[:, :F]
+        lam = jnp.concatenate([lam, jnp.zeros((pad,), lam.dtype)])
+    return _spd_solve_lanes(A_l, g_l, lam, interpret)[:, :F]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -201,7 +231,7 @@ def spd_solve_pallas(A: jnp.ndarray, g: jnp.ndarray, interpret: bool = False):
         eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype)[:, :, None], (n, n, pad))
         A_l = jnp.concatenate([A_l, eye], axis=-1)
         g_l = jnp.concatenate([g_l, jnp.zeros((n, pad), g.dtype)], axis=-1)
-    x_l = _spd_solve_lanes(A_l, g_l, interpret)
+    x_l = _spd_solve_lanes(A_l, g_l, jnp.zeros((Fp,), A.dtype), interpret)
     return jnp.transpose(x_l[:, :F], (1, 0))
 
 
@@ -217,11 +247,26 @@ def spd_solve_xla(A: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(A, g)
 
 
-def make_spd_solve_lanes(impl: str = "auto"):
-    """Like make_spd_solve but on the lanes layout: (n,n,F), (n,F) → (n,F).
+def _spd_solve_xla_lanes(A_l, g_l, lam=None):
+    if lam is not None:
+        n = A_l.shape[0]
+        A_l = A_l + lam[None, None, :] * jnp.eye(n, dtype=A_l.dtype)[:, :, None]
+    return jnp.transpose(
+        spd_solve_xla(
+            jnp.transpose(A_l, (2, 0, 1)), jnp.transpose(g_l, (1, 0))
+        ),
+        (1, 0),
+    )
 
-    The Pallas path runs natively in this layout; the XLA fallback pays the
-    relayout (it has no layout preference to exploit).
+
+def make_spd_solve_lanes(impl: str = "auto"):
+    """Like make_spd_solve but on the lanes layout, with optional per-frame
+    damping: (A (n,n,F), g (n,F), lam (F,)|None) → x (n,F) solving
+    (A + diag(lam)) x = g.
+
+    The Pallas path runs natively in this layout and applies lam on the
+    VMEM-resident block; the XLA fallback pays the relayout and the
+    explicit lam*I add (it has no layout preference to exploit).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -230,12 +275,7 @@ def make_spd_solve_lanes(impl: str = "auto"):
     if impl == "pallas-interpret":
         return functools.partial(spd_solve_pallas_lanes, interpret=True)
     if impl == "xla":
-        return lambda A_l, g_l: jnp.transpose(
-            spd_solve_xla(
-                jnp.transpose(A_l, (2, 0, 1)), jnp.transpose(g_l, (1, 0))
-            ),
-            (1, 0),
-        )
+        return _spd_solve_xla_lanes
     raise ValueError(f"unknown spd solve impl: {impl}")
 
 

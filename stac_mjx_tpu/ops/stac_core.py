@@ -54,6 +54,8 @@ class StacCore:
         fk_impl: str = "scan",
         spd_impl: str = "auto",
         gn_stall_iters: int = 3,
+        gn_damping_rule: str = "nielsen",
+        gn_iters: int = 0,
     ):
         """q_solver: "pg" (projected gradient, robust f32 defaults),
         "pg-jaxopt" (projected gradient locked to jaxopt 0.8.5
@@ -77,15 +79,28 @@ class StacCore:
             maxiter=n_iter_q, tol=tol, jaxopt_mode=(q_solver == "pg-jaxopt")
         )
         if q_solver.startswith("gn"):
+            # gn_iters=0 -> auto: 14 iterations for the flat LM under the
+            # nielsen damping rule (the measured quality/throughput knee
+            # on v5e — see config.py StacConfig.gn_iters); 16 otherwise
+            # (the damping rule only drives the flat solve_batch path —
+            # the linesearch "gn" solver keeps its own schedule).
+            auto_iters = (
+                14
+                if (q_solver == "gn-lm" and gn_damping_rule == "nielsen")
+                else 16
+            )
             self.gnik = GNIK(
                 topo,
                 self.site_idxs,
-                maxiter=min(n_iter_q, 16),
+                maxiter=(
+                    gn_iters if gn_iters > 0 else min(n_iter_q, auto_iters)
+                ),
                 tol=tol * tol,
                 fk_impl=fk_impl,
                 linesearch=(q_solver != "gn-lm"),
                 spd_impl=spd_impl,
                 stall_iters=gn_stall_iters,
+                damping_rule=gn_damping_rule,
             )
 
     # ------------------------------------------------------------------ q

@@ -125,7 +125,10 @@ class Stac:
             q_solver=cfg.stac.get("q_solver", "pg") or "pg",
             fk_impl=cfg.stac.get("fk_impl", "scan") or "scan",
             spd_impl=cfg.stac.get("spd_impl", "auto") or "auto",
-            gn_stall_iters=int(cfg.stac.get("gn_stall_iters", 3)),
+            gn_stall_iters=int(cfg.stac.get("gn_stall_iters", 0)),
+            gn_damping_rule=cfg.stac.get("gn_damping_rule", "nielsen")
+            or "nielsen",
+            gn_iters=int(cfg.stac.get("gn_iters", 0)),
         )
         self._offsets = np.asarray(
             self.params.site_pos[jnp.asarray(self._body_site_idxs)]

@@ -351,3 +351,33 @@ def test_solve_batch_early_exit(free_chain):
         params, kp, qs_all, kmask, jnp.asarray(ee.params), lb, ub
     )
     assert int(np.asarray(at_opt.iters)[0]) <= 6, np.asarray(at_opt.iters)
+
+
+def test_solve_batch_nielsen_damping_recovers_pose(free_chain):
+    """damping_rule="nielsen" (gain-ratio lambda schedule) meets the same
+    recovery contract as the fixed inc/dec rule on an easy batch, and the
+    two rules agree to solver tolerance (not bitwise: different lambda
+    trajectories)."""
+    topo, params, core, _ = free_chain
+    rng = np.random.default_rng(11)
+    nq = topo.nq
+    F = 4
+    q_true = np.stack([_rand_q(topo, params, rng, 0.2) for _ in range(F)])
+    kp = jax.vmap(lambda q: core.fk(params, q).site_xpos[:3].reshape(-1))(
+        jnp.asarray(q_true, jnp.float32)
+    )
+    kmask = jnp.ones(kp.shape[1], kp.dtype)
+    q0 = jnp.broadcast_to(params.qpos0, (F, nq))
+    lb = -jnp.full(nq, jnp.inf)
+    ub = jnp.full(nq, jnp.inf)
+    qs_all = jnp.ones(nq, bool)
+
+    nie = GNIK(topo, np.arange(3), maxiter=25, tol=1e-12,
+               linesearch=False, stall_iters=0, damping_rule="nielsen")
+    fix = GNIK(topo, np.arange(3), maxiter=25, tol=1e-12,
+               linesearch=False, stall_iters=0, damping_rule="fixed")
+    rn = nie.solve_batch(params, kp, qs_all, kmask, q0, lb, ub)
+    rf = fix.solve_batch(params, kp, qs_all, kmask, q0, lb, ub)
+    # both drive the marker residual to ~zero on this recoverable problem
+    assert float(jnp.max(rn.error)) < 1e-4
+    assert float(jnp.max(rf.error)) < 1e-4

@@ -62,6 +62,38 @@ def test_lane_padding():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-5)
 
 
+def test_lanes_lam_operand_matches_explicit_add():
+    """Per-frame damping passed as a kernel operand == adding lam*I to A.
+
+    The LM solver passes lam into the kernel (diagonal add on the VMEM-
+    resident block) instead of materializing A + lam*I in XLA — a full HBM
+    read+write of the (F, n, n) tensor per iteration (ops/spd.py)."""
+    from stac_mjx_tpu.ops.spd import (
+        _spd_solve_xla_lanes,
+        spd_solve_pallas_lanes,
+    )
+
+    rng = np.random.default_rng(7)
+    F, n = 135, 19  # exercises lane padding too
+    A, g = _spd_batch(F, n, seed=7)
+    lam = jnp.asarray(np.abs(rng.normal(size=(F,))).astype(np.float32))
+    A_l = jnp.transpose(A, (1, 2, 0))
+    g_l = jnp.transpose(g, (1, 0))
+    x = spd_solve_pallas_lanes(A_l, g_l, lam, interpret=True)
+    x_explicit = spd_solve_pallas_lanes(
+        A_l + lam[None, None, :] * jnp.eye(n, dtype=A.dtype)[:, :, None],
+        g_l,
+        interpret=True,
+    )
+    x_xla = _spd_solve_xla_lanes(A_l, g_l, lam)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_explicit), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_xla), rtol=2e-3, atol=1e-4
+    )
+
+
 def test_make_spd_solve_dispatch():
     assert make_spd_solve("xla") is spd_solve_xla
     with pytest.raises(ValueError):
