@@ -57,3 +57,35 @@ def test_reference_config_tree_loads():
         ref_configs, overrides=["stac=stac_synth_data", "model=synth_data"]
     )
     assert cfg2.model.MJCF_PATH == "models/synth_model.xml"
+
+
+def test_gn_solver_knobs_plumb_to_gnik():
+    """gn_damping_rule / gn_iters / gn_stall_iters reach the GNIK instance,
+    and gn_iters=0 resolves to the measured auto schedule (14 nielsen
+    iterations for gn-lm; see config.py StacConfig.gn_iters)."""
+    from stac_mjx_tpu.stac import Stac
+    from stac_mjx_tpu.utils.assets import resolve_asset
+
+    cfg = compose_config(
+        "configs",
+        overrides=["stac=synth", "model=synth_data",
+                   "stac.q_solver=gn-lm", "stac.pose_mode=lockstep"],
+    )
+    xml = resolve_asset(cfg.model.MJCF_PATH, ".")
+    names = list(cfg.model.KEYPOINT_MODEL_PAIRS.keys())
+    gnik = Stac(xml, cfg, names).stac_core_obj.gnik
+    assert gnik.damping_rule == "nielsen"
+    assert gnik.maxiter == 14
+    assert gnik.stall_iters == 0
+
+    cfg2 = compose_config(
+        "configs",
+        overrides=["stac=synth", "model=synth_data",
+                   "stac.q_solver=gn-lm", "stac.pose_mode=lockstep",
+                   "stac.gn_damping_rule=fixed", "stac.gn_iters=11",
+                   "stac.gn_stall_iters=2"],
+    )
+    gnik2 = Stac(xml, cfg2, names).stac_core_obj.gnik
+    assert gnik2.damping_rule == "fixed"
+    assert gnik2.maxiter == 11
+    assert gnik2.stall_iters == 2
