@@ -96,6 +96,13 @@ def _setup():
         "stac.skip_part_opt=true",
         "stac.fk_impl=jump",
         "stac.ik_return_full=false",
+        # Hierarchical ik (multigrid-in-time): measured on this workload to
+        # DOMINATE the flat schedule — 80.6k f/s @ 2.024 mm vs 63.8k @
+        # 2.040 mm device-only (the recording is continuous mocap, the
+        # regime the seed interpolation assumes; the package default stays
+        # flat). The ik leg reports the flat comparison alongside.
+        "stac.ik_hier_stride=25",
+        "stac.ik_hier_fine_iters=10",
     ]
     cfg = compose_config("/root/repo/configs", overrides=throughput_overrides)
     data_file = resolve_asset(
@@ -235,6 +242,29 @@ def leg_ik(state_path):
     # distance in meters (pipeline.pose_optimization), one scalar D2H.
     resid = float(jnp.mean(out[-1]))
 
+    # Flat-schedule comparison (hier off): same program minus the
+    # hierarchical seeding, for the quality/throughput delta in the JSON.
+    cfg_flat = ns.compose_config(
+        "/root/repo/configs",
+        overrides=[o for o in ns.throughput_overrides
+                   if "ik_hier" not in o],
+    )
+    if ns.cfg.stac.data_path:
+        cfg_flat.stac.data_path = ns.cfg.stac.data_path
+    stac_flat = ns.Stac(ns.xml, cfg_flat, ns.names)
+    flat_fn = stac_flat._get_ik_fn(return_full=False)
+    out_flat = flat_fn(stac_flat.params, batched, offs_dev,
+                       stac_flat._lb, stac_flat._ub)
+    jax.block_until_ready(out_flat)
+    flat_dev_fps = _fps(
+        N_IK,
+        lambda: jax.block_until_ready(
+            flat_fn(stac_flat.params, batched, offs_dev,
+                    stac_flat._lb, stac_flat._ub)
+        ),
+    )
+    resid_flat = float(jnp.mean(out_flat[-1]))
+
     # Detail leg: f16 wire format (stac.wire_dtype=float16) — mean-centered
     # f16 keypoints H2D, f16 qpos D2H; compute stays f32 on device. Halves
     # the wire bytes, which is exactly what binds e2e on this tunnel.
@@ -264,6 +294,9 @@ def leg_ik(state_path):
         "e2e_over_device": round(ik_e2e_fps / ik_dev_fps, 3),
         "e2e_over_device_wire_f16": round(wire_fps / ik_dev_fps, 3),
         "mean_marker_resid_m": round(resid, 6),
+        "ik_schedule": "hierarchical stride=25 fine=10 (see config.py)",
+        "ik_device_only_fps_flat_schedule": round(flat_dev_fps, 2),
+        "mean_marker_resid_m_flat_schedule": round(resid_flat, 6),
         "ik_frames": N_IK,
         "ik_clips": N_IK // CLIP,
         "offsets_from_fit": fitted,
@@ -306,8 +339,8 @@ def _peak_tflops(device_kind: str):
 def leg_mfu(state_path):
     """FLOP/MFU accounting + per-phase device-time breakdown (VERDICT r3 #2).
 
-    Times a family of whole-jitted fori_loop(16) programs at the headline ik
-    shape, each adding one phase of the flat-LM iteration — FK, analytic
+    Times a family of whole-jitted fori_loop(maxiter) programs at the
+    headline ik shape, each adding one phase of the flat-LM iteration — FK, analytic
     Jacobian, normal-equation einsums, Pallas SPD solve, then the real
     solve_batch (adds retract/accept/damping) — and attributes the iteration
     cost to phases by differencing. Single whole-program wall times only
@@ -398,9 +431,9 @@ def leg_mfu(state_path):
             params, kp, qs_all, kmask, q, stac._lb, stac._ub
         ).params
 
-    # Attribution base: fixed-16 schedule (early exit off) so the stage
-    # deltas and the full program run the same iteration count; the real
-    # early-exit solver is timed separately below.
+    # Attribution base: fixed-maxiter schedule (early exit off) so the
+    # stage deltas and the full program run the same iteration count; the
+    # early-exit solver (if enabled in config) is timed separately below.
     stall_iters = gn.stall_iters
     gn.stall_iters = 0
     t_full, _ = time_program(full, q0)
@@ -570,6 +603,17 @@ def leg_parity(state_path, n_frames):
         "parity_clips": n_clips,
         "parity_frames": n_frames,
         "parity_segment_frames": PARITY_SEGMENT,
+        # The headline ik runs 40 clips; when this leg's 40-clip run
+        # exceeds its timeout the orchestrator retries at fewer clips, so
+        # vs_baseline then compares ratios at different vmap widths. The
+        # sequential chain is latency-bound (r3 measured the per-frame
+        # chain rate width-independent at small widths), so the
+        # as-measured ratio UNDERSTATES the baseline by at most the width
+        # factor; both numbers are recoverable from parity_clips here.
+        "parity_width_note": (
+            f"measured at {n_clips} vmapped clips; headline ik uses "
+            f"{N_IK // CLIP}"
+        ),
         "offsets_from_fit": fitted,
     }
 

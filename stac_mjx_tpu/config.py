@@ -112,6 +112,17 @@ class StacConfig:
     # knee of the nielsen quality/throughput curve: 62k frames/s/chip at
     # 2.083 mm vs 56k at 2.074 mm with 16). Explicit values win.
     gn_iters: int = 0
+    # Hierarchical (multigrid-in-time) lockstep ik: cold-solve every
+    # ik_hier_stride-th frame at the full budget, interpolate seeds
+    # (quaternion-aware nlerp) for all frames, refine warm in
+    # ik_hier_fine_iters (0 = auto). Per-frame iteration cost drops from
+    # gn_iters to ~gn_iters/stride + fine_iters; mocap's slow inter-frame
+    # motion makes the seeds near-optimal. NOT bitwise-identical to the
+    # flat schedule (different warm starts) — quality is measured per
+    # workload; 0/1 disables (the default: flat schedule). gn-lm
+    # lockstep ik only.
+    ik_hier_stride: int = 0
+    ik_hier_fine_iters: int = 0
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
     # ik_only result payload: True returns/transfers qpos+xpos+xquat+markers
     # (the reference's full h5 schema); False returns qpos+errors only —

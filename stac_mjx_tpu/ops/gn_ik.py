@@ -285,6 +285,7 @@ class GNIK:
         q0: jnp.ndarray,
         lb: jnp.ndarray,
         ub: jnp.ndarray,
+        maxiter: int | None = None,
     ) -> PGResult:
         """Flat LM over a whole frame batch natively: q0/kp_data are (F, ·).
 
@@ -300,9 +301,15 @@ class GNIK:
         part_opt_mode="batched"): same FLOPs as the sequential part loop but
         1/P the sequential depth and P× the lanes in every FK/einsum/SPD
         launch.
+
+        ``maxiter`` (static) overrides the instance iteration cap for this
+        solve — the hierarchical ik schedule's warm-started fine pass runs
+        a shorter budget than the cold coarse pass
+        (pipeline.ik_only_program).
         """
         from stac_mjx_tpu.ops.spd import LANE
 
+        mi = self.maxiter if maxiter is None else int(maxiter)
         dtype = q0.dtype
         # Pad the frame axis to a lane-tile multiple ONCE, here — otherwise
         # the Pallas solve pads A/g inside every LM iteration (profiled at
@@ -356,7 +363,7 @@ class GNIK:
             p = fkres.site_xpos[:, self.site_idxs].reshape(F, -1)
             return (p - kp_data) * kmask
 
-        stall_n = self.stall_iters if self.stall_iters > 0 else self.maxiter + 1
+        stall_n = self.stall_iters if self.stall_iters > 0 else mi + 1
         tol_gain = jnp.asarray(self.tol, dtype)
 
         nielsen = self.damping_rule == "nielsen"
@@ -447,7 +454,7 @@ class GNIK:
         def cond(state):
             k, q, lam, f_x, fkres, stall = state
             return jnp.logical_and(
-                k < self.maxiter, jnp.any(stall < stall_n)
+                k < mi, jnp.any(stall < stall_n)
             )
 
         q_start = project(q0)

@@ -162,6 +162,7 @@ class StacCore:
         q0: jnp.ndarray,
         lb: jnp.ndarray,
         ub: jnp.ndarray,
+        maxiter: int | None = None,
     ) -> PGResult:
         """Pose solves over a whole frame batch: kp_data/q0 are (F, ·).
 
@@ -177,7 +178,8 @@ class StacCore:
         """
         if self.q_solver_kind == "gn" and not self.gnik.linesearch:
             return self.gnik.solve_batch(
-                params, kp_data, qs_to_opt, kps_to_opt, q0, lb, ub
+                params, kp_data, qs_to_opt, kps_to_opt, q0, lb, ub,
+                maxiter=maxiter,
             )
         if qs_to_opt.ndim == 2:
             return jax.vmap(

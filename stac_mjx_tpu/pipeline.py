@@ -75,6 +75,15 @@ class StacConfigStatic:
     #   masks are (near-)disjoint limbs, so the delta is noise-level while
     #   the sequential depth drops from (1+P) to 2 solves.
     part_opt_mode: str = "sequential"
+    # Hierarchical (multigrid-in-time) lockstep ik: solve every
+    # ``hier_stride``-th frame cold at the full iteration budget, seed the
+    # remaining frames by quaternion-aware interpolation (nlerp) of the
+    # coarse solutions, then refine ALL frames warm in
+    # ``hier_fine_iters`` iterations (0 = auto). Both passes are full
+    # lockstep batches. 0/1 disables. gn-lm only (other solvers ignore
+    # it). See config.py StacConfig.ik_hier_stride for measurements.
+    hier_stride: int = 0
+    hier_fine_iters: int = 0
 
 
 # ---------------------------------------------------------------- root phase
@@ -146,6 +155,52 @@ def root_optimization_batch(
 # ---------------------------------------------------------------- pose phase
 
 
+def _quat_spans(topo) -> tuple:
+    """Static qpos spans holding unit quaternions (free: qadr+3, ball: qadr)."""
+    spans = []
+    for j in range(topo.njnt):
+        t = int(topo.jnt_type[j])
+        qa = int(topo.jnt_qposadr[j])
+        if t == 0:  # free
+            spans.append(qa + 3)
+        elif t == 1:  # ball
+            spans.append(qa)
+    return tuple(spans)
+
+
+def interp_seeds(
+    topo, q_coarse: jnp.ndarray, stride: int, n_frames: int
+) -> jnp.ndarray:
+    """Per-frame warm starts from strided coarse solves (hierarchical ik).
+
+    q_coarse: (C, Fcc, nq) — poses of frames 0, s, 2s, ... of each clip.
+    Returns (C, n_frames, nq): frame t seeds from the linear interpolation
+    of its bracketing coarse frames, with quaternion spans sign-aligned
+    before the lerp and renormalized after (nlerp — exact for the small
+    inter-frame rotations of mocap, and only a SEED either way: the warm
+    fine pass refines it). Frames past the last coarse frame clamp to it.
+    """
+    C, Fcc, nq = q_coarse.shape
+    t = np.arange(n_frames)
+    il = np.minimum(t // stride, Fcc - 1)
+    ir = np.minimum(il + 1, Fcc - 1)
+    w = jnp.asarray(
+        ((t - il * stride) / stride).astype(np.float32), q_coarse.dtype
+    )[None, :, None]
+    left = q_coarse[:, il]
+    right = q_coarse[:, ir]
+    seed = left * (1.0 - w) + right * w
+    for a in _quat_spans(topo):
+        lq = left[..., a : a + 4]
+        rq = right[..., a : a + 4]
+        dot = jnp.sum(lq * rq, axis=-1, keepdims=True)
+        rq = jnp.where(dot < 0, -rq, rq)
+        q = lq * (1.0 - w) + rq * w
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-12))
+        seed = seed.at[..., a : a + 4].set(q / norm)
+    return seed
+
+
 def _solve_frame(core, cfg, params, q0, kp_t, lb, ub, kps_to_opt, qs_all):
     """Full-q solve followed by the statically-unrolled per-part solves.
 
@@ -172,6 +227,7 @@ def pose_optimization(
     q_init: jnp.ndarray,
     lb: jnp.ndarray,
     ub: jnp.ndarray,
+    maxiter: int | None = None,
 ):
     """Pose solves over a clip.
 
@@ -211,7 +267,8 @@ def pose_optimization(
         # normal equations in a single sweep; see _solve_frame for the
         # per-frame parity semantics).
         res = core.q_opt_batch(
-            params, kp_data, qs_all, kps_to_opt, q0b, lb, ub
+            params, kp_data, qs_all, kps_to_opt, q0b, lb, ub,
+            maxiter=maxiter,
         )
         qposes = res.params
         # The batched part schedule materializes a (P*F, ·) sweep — ~P× the
@@ -614,9 +671,49 @@ def ik_only_program(
         else:
             roots = jnp.broadcast_to(params.qpos0, (C, nq))
         kp_flat = batched_kp.reshape(C * Fc, -1)
-        q0_flat = jnp.repeat(roots, Fc, axis=0)
+        use_hier = (
+            cfg.hier_stride > 1
+            and core.q_solver_kind == "gn"
+            and not core.gnik.linesearch
+        )
+        fine_iters = None
+        if use_hier:
+            # Hierarchical (multigrid-in-time) schedule: cold-solve every
+            # s-th frame at the full budget, nlerp-interpolate seeds for
+            # all frames, refine warm in hier_fine_iters. Mocap changes
+            # slowly between frames, so the interpolated seed is already
+            # near the optimum; total iteration cost drops from maxiter
+            # to ~maxiter/s + fine_iters per frame. Not bitwise-identical
+            # to the flat schedule (different starts) — quality is
+            # measured, see config.py StacConfig.ik_hier_stride.
+            s_h = int(cfg.hier_stride)
+            idx_c = np.arange(0, Fc, s_h)
+            nq_ = params.qpos0.shape[-1]
+            kp_c = batched_kp[:, idx_c].reshape(C * len(idx_c), -1)
+            q0_c = jnp.repeat(roots, len(idx_c), axis=0)
+            if cfg.root_kp_idx >= 0 and cfg.do_root_opt:
+                root_xyz_c = jax.lax.dynamic_slice(
+                    kp_c, (0, 3 * cfg.root_kp_idx), (kp_c.shape[0], 3)
+                )
+                q0_c = q0_c.at[:, :3].set(root_xyz_c)
+            res_c = core.q_opt_batch(
+                params,
+                kp_c,
+                jnp.ones(nq_, dtype=bool),
+                jnp.ones(kp_c.shape[1], dtype=kp_c.dtype),
+                q0_c,
+                lb,
+                ub,
+            )
+            q_coarse = res_c.params.reshape(C, len(idx_c), nq_)
+            q0_flat = interp_seeds(core.topo, q_coarse, s_h, Fc).reshape(
+                C * Fc, nq_
+            )
+            fine_iters = cfg.hier_fine_iters if cfg.hier_fine_iters > 0 else 6
+        else:
+            q0_flat = jnp.repeat(roots, Fc, axis=0)
         _, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
-            core, cfg, params, kp_flat, q0_flat, lb, ub
+            core, cfg, params, kp_flat, q0_flat, lb, ub, maxiter=fine_iters
         )
         shape = lambda a: a.reshape(C, Fc, *a.shape[1:])  # noqa: E731
         if not return_full:

@@ -179,6 +179,8 @@ class Stac:
             pose_mode=pose_mode,
             root_opt_passes=root_passes,
             part_opt_mode=part_mode,
+            hier_stride=int(cfg.stac.get("ik_hier_stride", 0) or 0),
+            hier_fine_iters=int(cfg.stac.get("ik_hier_fine_iters", 0) or 0),
         )
         # Host<->device transfer precision for ik_only (see StacConfig):
         # "float16" sends mean-centered f16 keypoints up and f16 results

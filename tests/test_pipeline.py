@@ -492,3 +492,48 @@ def test_fit_qpos_within_bounds(rodent_small):
     q = fit.qpos
     # box projection holds everywhere (free-joint quats within [-1,1] etc.)
     assert np.all(q >= lb - 1e-5) and np.all(q <= ub + 1e-5)
+
+
+def test_ik_hierarchical_close_to_flat():
+    """Hierarchical (multigrid-in-time) lockstep ik: coarse strided solves +
+    nlerp-interpolated seeds + a short warm fine pass lands within a small
+    residual bound of the flat full-budget schedule (not bitwise — the
+    warm starts differ by design), and the knob is ignored by non-gn-lm
+    solvers."""
+    from stac_mjx_tpu.models import firstparty
+
+    def build(extra):
+        cfg = compose_config(
+            "configs",
+            overrides=[
+                "model=firstparty", "stac=firstparty",
+                "stac.q_solver=gn-lm", "stac.pose_mode=lockstep",
+                "stac.fk_impl=jump", "stac.skip_part_opt=true",
+                "stac.n_frames_per_clip=12", "stac.ik_return_full=false",
+            ] + extra,
+        )
+        return cfg, Stac("models/firstparty.xml", cfg,
+                         list(firstparty.KEYPOINTS))
+
+    cfg, flat = build([])
+    kp, _, _, _ = firstparty.make_recording(cfg, n_frames=24, seed=5,
+                                            base_path="/root/repo")
+    out_flat = flat.ik_only(kp, flat._offsets)
+    _, hier = build(["stac.ik_hier_stride=4"])
+    out_hier = hier.ik_only(kp, hier._offsets)
+
+    # firstparty recordings are exactly FK-realizable: both schedules
+    # drive the marker residual near zero; the hierarchical one must stay
+    # within a tight absolute bound of the flat result. Residuals are
+    # recomputed via FK from the lean payload's qpos.
+    kpr = np.asarray(kp).reshape(24, -1, 3)
+
+    def resid(stac_obj, qpos):
+        _, _, marker_sites = stac_obj.compute_full_outputs(qpos)
+        ms = np.asarray(marker_sites).reshape(24, -1, 3)
+        return float(np.linalg.norm(kpr - ms, axis=-1).mean())
+
+    r_flat = resid(flat, out_flat.qpos)
+    r_hier = resid(hier, out_hier.qpos)
+    assert r_flat < 6e-3, r_flat
+    assert r_hier < max(1.5 * r_flat, 6e-3), (r_hier, r_flat)
