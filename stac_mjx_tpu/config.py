@@ -123,6 +123,16 @@ class StacConfig:
     # lockstep ik only.
     ik_hier_stride: int = 0
     ik_hier_fine_iters: int = 0
+    # Lockstep fit: >0 makes pose passes after the first warm-start every
+    # frame from its own previous-pass solution and run this shorter
+    # budget. MEASURED NOT TO PAY at the reference's 250-frame fit shape
+    # (the fit is pass-overhead-bound there, not iteration-bound: -4%
+    # e2e at 10 warm iters, final error 1.250 vs 1.244 mm; 6 iters is
+    # +10% fps but 1.307 mm), so 0 (off — full budget from the scalar
+    # pose carry, the previous behavior) is the default. Revisit for
+    # 10k+-frame fits where per-iteration device time dominates.
+    # Sequential (parity) fit untouched.
+    fit_warm_iters: int = 0
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all
     # ik_only result payload: True returns/transfers qpos+xpos+xquat+markers
     # (the reference's full h5 schema); False returns qpos+errors only —

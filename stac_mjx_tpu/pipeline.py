@@ -84,6 +84,13 @@ class StacConfigStatic:
     # it). See config.py StacConfig.ik_hier_stride for measurements.
     hier_stride: int = 0
     hier_fine_iters: int = 0
+    # Lockstep fit: >0 makes pose passes after the first warm-start
+    # every frame from ITS OWN previous-pass solution (instead of
+    # broadcasting the scalar pose carry) at this shorter budget. 0 (the
+    # default) keeps the full-budget carry schedule — measured the
+    # better default at the reference's 250-frame fit shape, which is
+    # pass-overhead-bound (see config.py StacConfig.fit_warm_iters).
+    fit_warm_iters: int = 0
 
 
 # ---------------------------------------------------------------- root phase
@@ -419,18 +426,31 @@ def fit_offsets_program(
     if cfg.do_root_opt and cfg.root_kp_idx >= 0:
         q = root_optimization(core, cfg, params, kp_data[0], q, lb, ub)
 
+    # Lockstep warm passes: after the first pose pass, every frame
+    # restarts from its own previous solution with a shorter budget (see
+    # StacConfigStatic.fit_warm_iters). The broadcast-the-carry start the
+    # sequential mode uses is kept for parity mode.
+    lockstep = cfg.pose_mode == "lockstep"
+    warm_iters = cfg.fit_warm_iters if cfg.fit_warm_iters > 0 else None
+
     iter_errors = []
+    q_warm = None
     for _ in range(cfg.n_iters):
+        q_init = q_warm if (lockstep and q_warm is not None) else q
+        mi = warm_iters if q_warm is not None else None
         q, qposes, _, _, _, errors = pose_optimization(
-            core, cfg, params, kp_data, q, lb, ub
+            core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi
         )
+        q_warm = qposes if (lockstep and warm_iters is not None) else None
         params, offsets, m_err = offset_optimization(
             core, cfg, params, kp_data, offsets, qposes, is_regularized
         )
         iter_errors.append((errors, m_err))
 
+    q_init = q_warm if (lockstep and q_warm is not None) else q
+    mi = warm_iters if q_warm is not None else None
     q, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
-        core, cfg, params, kp_data, q, lb, ub
+        core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi
     )
 
     out = {
@@ -496,11 +516,18 @@ def fit_offsets_sharded(
         if cfg.do_root_opt and cfg.root_kp_idx >= 0:
             q = root_optimization(core, cfg, params, kp_local[0], q, lb, ub)
 
+        # Same warm-pass schedule as fit_offsets_program (off unless
+        # fit_warm_iters > 0).
+        warm_iters = cfg.fit_warm_iters if cfg.fit_warm_iters > 0 else None
         iter_errors = []
+        q_warm = None
         for _ in range(cfg.n_iters):
+            q_init = q_warm if q_warm is not None else q
+            mi = warm_iters if q_warm is not None else None
             q, qposes, _, _, _, errors = pose_optimization(
-                core, cfg, params, kp_local, q, lb, ub
+                core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi
             )
+            q_warm = qposes if warm_iters is not None else None
             params, offsets, m_err = offset_optimization(
                 core,
                 cfg,
@@ -514,8 +541,10 @@ def fit_offsets_sharded(
             )
             iter_errors.append((errors, m_err))
 
+        q_init = q_warm if q_warm is not None else q
+        mi = warm_iters if q_warm is not None else None
         q, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
-            core, cfg, params, kp_local, q, lb, ub
+            core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi
         )
         iter_frame = (
             jnp.stack([fe for fe, _ in iter_errors])

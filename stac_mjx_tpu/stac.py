@@ -181,6 +181,7 @@ class Stac:
             part_opt_mode=part_mode,
             hier_stride=int(cfg.stac.get("ik_hier_stride", 0) or 0),
             hier_fine_iters=int(cfg.stac.get("ik_hier_fine_iters", 0) or 0),
+            fit_warm_iters=int(cfg.stac.get("fit_warm_iters", 0) or 0),
         )
         # Host<->device transfer precision for ik_only (see StacConfig):
         # "float16" sends mean-centered f16 keypoints up and f16 results
