@@ -1,37 +1,59 @@
 """Benchmark: rodent fit + IK throughput (frames/s) on the current accelerator.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the headline; repeated as legs complete — see below):
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N, "detail": {...}}
 
-Crash containment (VERDICT r2 #1): every leg runs in its OWN SUBPROCESS with
-a timeout, so a TPU-worker kernel fault in one leg (round 2 lost all numbers
-to one in the parity warmup) costs only that leg — the orchestrator still
-prints the headline JSON, reporting dead legs as null in `detail`. Legs:
+Delivery discipline (VERDICT r4 #1 — round 4's numbers evaporated in a
+driver timeout): the orchestrator now guarantees a populated artifact under
+any tunnel weather.
+
+  * GLOBAL DEADLINE — ``STAC_BENCH_DEADLINE`` seconds (default 2400) for the
+    whole run. Every leg's subprocess timeout is cut to the remaining
+    budget (minus reservations for the headline legs still queued); legs
+    that no longer fit are SKIPPED with a note, never started.
+  * STREAMING — the full summary JSON line is (re)printed the moment each
+    leg completes and mirrored to ``BENCH_PARTIAL.json``, so even a hard
+    kill of the orchestrator leaves the latest populated headline in the
+    recorded stdout tail. The last line printed is always the most complete.
+  * HEADLINE-FIRST — legs run in value order: probe, fit, ik, parity, then
+    the optional legs (mfu, ik/fit variants, dispatch) only if budget
+    remains. No per-leg retries: one shared deadline.
+  * TUNNEL PROBE — a 512x512 matmul compile in a subprocess classifies the
+    tunnel window (good <90 s; CLAUDE.md: bad windows take 15+ min per
+    compile). A bad window drops the optional legs up front and shortens
+    the parity clip so the headline set still lands.
+
+Crash containment (VERDICT r2 #1): every leg runs in its OWN SUBPROCESS, so
+a TPU-worker kernel fault costs only that leg. Legs:
 
   * fit    — fit_offsets on 250 frames of the reference's rodent recording
              (root opt + 6 alternation iters + final pose pass), throughput
-             config; persists the calibrated offsets for the other legs.
+             config, ONE compile; persists the calibrated offsets.
   * ik     — the HEADLINE: ik_only on a 10,000-frame multi-clip recording
-             (40 clips x 250 frames) with the fitted offsets. End-to-end
-             includes host->device placement and the lean D2H pull
-             (qpos + errors); the device-only time of the same jitted
-             program is reported alongside.
+             (40 clips x 250 frames) with the fitted offsets, ONE compile
+             (hierarchical schedule, the measured-best; config.py). e2e
+             includes host->device placement and the lean D2H pull; the
+             device-only time of the same jitted program is reported
+             alongside.
   * parity — the baseline: this framework's reference-parity execution mode
              on the SAME chip (`q_solver=pg-jaxopt pose_mode=sequential`,
              the whole-program lax.scan replication of the reference's
              algorithm: sequential warm-started frames, 400-iter projected
              gradient, per-part refinement; stac_mjx/compute_stac.py:216-267).
-             MEASURED at the reference's own shape — 250-frame clips, vmap
-             over clips x scan within clip — by splitting the scan into
-             bounded-runtime 10-frame segment dispatches with the warm
-             start carried on device (stac.seq_segment_frames; bitwise
-             identical to the single scan, see leg docstring). The
+             Measured at the reference's own clip shape (250 frames) when
+             the budget allows, via bounded-runtime segment dispatches with
+             the warm start carried on device (stac.seq_segment_frames;
+             bitwise identical to the single scan). The clip length actually
+             measured is always recorded (`parity_clip_frames`). The
              reference itself cannot run here (CUDA/MJX-bound), so this is
              the honest apples-to-apples ratio: same math and hardware,
              reference algorithm vs TPU-native execution.
-  * dispatch — detail-only: the reference's *dispatch* style (one jit call
-             per frame per part from Python). Dominated by per-call tunnel
-             latency on this box; reported for context, never the baseline.
+  * ik_variants / fit_variants — optional: flat (non-hierarchical) ik
+             schedule and f16-wire / lean-payload comparisons.
+  * mfu    — optional: FLOP/MFU accounting + per-phase attribution.
+  * dispatch — optional detail: the reference's *dispatch* style (one jit
+             call per frame per part from Python); dominated by per-call
+             tunnel latency here, never the baseline.
 
 Throughput config: lockstep scheduling, analytic-Jacobian Levenberg-
 Marquardt (ops/gn_ik.py, normal equations through the Pallas batched-
@@ -51,6 +73,7 @@ import tempfile
 import time
 
 LEG_PREFIX = "BENCH_LEG_JSON: "
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Sizes are overridable for smoke-testing on CPU (defaults = the real
 # benchmark workload; the driver runs the defaults).
@@ -60,10 +83,37 @@ N_IK = int(os.environ.get("STAC_BENCH_IK_FRAMES", 10_000))
 N_PARITY = int(os.environ.get("STAC_BENCH_PARITY_FRAMES", 10_000))
 PARITY_CLIP = int(os.environ.get("STAC_BENCH_PARITY_CLIP", 250))
 PARITY_SEGMENT = int(os.environ.get("STAC_BENCH_PARITY_SEGMENT", 10))
-LEG_TIMEOUT_S = int(os.environ.get("STAC_BENCH_LEG_TIMEOUT", 1500))
-# The parity leg walks a full 250-frame sequential chain at ~4 s/frame
-# (~1000 s measured run + warmup + compiles) — it gets its own budget.
-PARITY_TIMEOUT_S = int(os.environ.get("STAC_BENCH_PARITY_TIMEOUT", 2700))
+# Global wall-clock budget for the WHOLE bench run. BENCH_r01-r03 landed
+# inside the driver window; r4 (which had grown to ~4 h worst-case) hit
+# rc=124 with nothing printed. 2400 s keeps the worst case well inside any
+# window that fit r1-r3.
+DEADLINE_S = float(os.environ.get("STAC_BENCH_DEADLINE", 2400))
+PROBE_TIMEOUT_S = float(os.environ.get("STAC_BENCH_PROBE_TIMEOUT", 420))
+PROBE_GOOD_S = float(os.environ.get("STAC_BENCH_PROBE_GOOD", 90))
+
+# Per-leg caps (good-window generous; the deadline is the real governor).
+LEG_BUDGET_S = {
+    "probe": PROBE_TIMEOUT_S,
+    "fit": 900.0,
+    "ik": 900.0,
+    "parity": 1500.0,
+    "mfu": 600.0,
+    "ik_variants": 600.0,
+    "fit_variants": 600.0,
+    "dispatch": 300.0,
+}
+# Minimum useful slot per leg: below this, skip instead of starting a leg
+# that cannot finish (compile alone can take this long).
+LEG_MIN_S = {
+    "probe": 60.0,
+    "fit": 240.0,
+    "ik": 240.0,
+    "parity": 300.0,
+    "mfu": 360.0,
+    "ik_variants": 300.0,
+    "fit_variants": 300.0,
+    "dispatch": 180.0,
+}
 
 
 def _fps(n_frames, fn):
@@ -75,7 +125,7 @@ def _fps(n_frames, fn):
 # --------------------------------------------------------------- leg setup
 
 
-def _setup():
+def _setup(extra_overrides=()):
     """Shared leg setup: config, model, keypoint data. Returns a namespace."""
     import jax
     import numpy as np
@@ -100,19 +150,19 @@ def _setup():
         # DOMINATE the flat schedule — 80.6k f/s @ 2.024 mm vs 63.8k @
         # 2.040 mm device-only (the recording is continuous mocap, the
         # regime the seed interpolation assumes; the package default stays
-        # flat). The ik leg reports the flat comparison alongside.
+        # flat). The ik_variants leg reports the flat comparison.
         "stac.ik_hier_stride=25",
         "stac.ik_hier_fine_iters=10",
-    ]
-    cfg = compose_config("/root/repo/configs", overrides=throughput_overrides)
+    ] + list(extra_overrides)
+    cfg = compose_config(f"{REPO}/configs", overrides=throughput_overrides)
     data_file = resolve_asset(
-        "tests/data/test_rodent_mocap_1000_frames.nwb", "/root/repo"
+        "tests/data/test_rodent_mocap_1000_frames.nwb", REPO
     )
-    xml = resolve_asset(cfg.model.MJCF_PATH, "/root/repo")
+    xml = resolve_asset(cfg.model.MJCF_PATH, REPO)
 
     if data_file.exists():
         cfg.stac.data_path = str(data_file)
-        kp_base, names = io.load_data(cfg, base_path="/root/repo")
+        kp_base, names = io.load_data(cfg, base_path=REPO)
         kp_base = np.asarray(kp_base)
     else:
         # Self-contained fallback: synthesize keypoints by FK of random poses.
@@ -158,8 +208,27 @@ def _load_offsets(state_path, stac):
 # --------------------------------------------------------------------- legs
 
 
-def leg_fit(state_path):
+def leg_probe(state_path):
+    """Tunnel-health probe: time one small-matmul compile+run (CLAUDE.md:
+    30 s in a good window, 15+ min in a bad one)."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.time()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(512, 512)),
+                    jnp.float32)
+    out = jax.jit(lambda a: a @ a)(x)
+    jax.block_until_ready(out)
+    probe_s = time.time() - t0
+    return {
+        "probe_matmul_s": round(probe_s, 2),
+        "probe_window": "good" if probe_s < PROBE_GOOD_S else "bad",
+    }
+
+
+def leg_fit(state_path):
+    """Headline fit: ONE compile (the full-payload fit program)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -170,6 +239,21 @@ def leg_fit(state_path):
     fit_fps = _fps(N_FIT, lambda: stac.fit_offsets(kp_fit))
     if state_path:
         np.savez(state_path, offsets=np.asarray(stac._offsets))
+    return {
+        "fit_offsets_fps": round(fit_fps, 2),
+        "fit_frames": N_FIT,
+    }
+
+
+def leg_fit_variants(state_path):
+    """Optional fit detail: lean payload e2e + device-only, f16 wire."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ns = _setup()
+    stac = ns.Stac(ns.xml, ns.cfg, ns.names)
+    kp_fit = jnp.asarray(ns.kp_base[:N_FIT], jnp.float32)
 
     # Lean payload e2e (offsets + qpos + errors only) and the device-only
     # split of the same lean program (VERDICT r3 #6: the fit path gets the
@@ -188,7 +272,7 @@ def leg_fit(state_path):
 
     # f16 wire variant (same knob as ik; compute stays f32 on device).
     cfg16 = ns.compose_config(
-        "/root/repo/configs",
+        f"{REPO}/configs",
         overrides=ns.throughput_overrides + ["stac.wire_dtype=float16"],
     )
     if ns.cfg.stac.data_path:
@@ -201,16 +285,16 @@ def leg_fit(state_path):
     )
 
     return {
-        "fit_offsets_fps": round(fit_fps, 2),
         "fit_lean_e2e_fps": round(fit_lean_fps, 2),
         "fit_lean_e2e_fps_wire_f16": round(fit_wire_fps, 2),
         "fit_device_only_fps": round(fit_dev_fps, 2),
         "fit_e2e_over_device": round(fit_lean_fps / fit_dev_fps, 3),
-        "fit_frames": N_FIT,
     }
 
 
 def leg_ik(state_path):
+    """Headline ik: ONE compile — hier-schedule lean program, e2e +
+    device-only splits of the same jitted function."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -242,10 +326,58 @@ def leg_ik(state_path):
     # distance in meters (pipeline.pose_optimization), one scalar D2H.
     resid = float(jnp.mean(out[-1]))
 
-    # Flat-schedule comparison (hier off): same program minus the
-    # hierarchical seeding, for the quality/throughput delta in the JSON.
+    # Transfer arithmetic (VERDICT r3 weak #2): bytes on the wire for the
+    # lean payload, and the tunnel bandwidth implied by the e2e-vs-device
+    # gap. h2d = keypoints up; d2h = qpos + per-frame errors down.
+    nq = stac.topo.nq
+    h2d_bytes = int(np.prod(batched.shape)) * 4
+    d2h_bytes = (N_IK * nq + N_IK) * 4
+    t_gap = N_IK / ik_e2e_fps - N_IK / ik_dev_fps
+    implied_mbps = (h2d_bytes + d2h_bytes) / 1e6 / t_gap if t_gap > 0 else None
+
+    return {
+        "ik_e2e_fps": round(ik_e2e_fps, 2),
+        "ik_device_only_fps": round(ik_dev_fps, 2),
+        "e2e_over_device": round(ik_e2e_fps / ik_dev_fps, 3),
+        "mean_marker_resid_m": round(resid, 6),
+        "ik_schedule": "hierarchical stride=25 fine=10 (measured-best; "
+                       "package default is flat — see config.py)",
+        "ik_frames": N_IK,
+        "ik_clips": N_IK // CLIP,
+        "offsets_from_fit": fitted,
+        # e2e is transfer-bound on this box; the arithmetic below shows the
+        # gap is fully explained by wire bytes over the ~12 MB/s tunnel.
+        # The chunked ik pipeline (stac.ik_chunk_clips) already overlaps
+        # transfers with compute; on production hosts (PCIe/ICI-attached
+        # chips) e2e ≈ device.
+        "wire_bytes_h2d": h2d_bytes,
+        "wire_bytes_d2h": d2h_bytes,
+        "e2e_minus_device_s": round(t_gap, 4),
+        "implied_tunnel_MBps": (
+            round(implied_mbps, 2) if implied_mbps else None
+        ),
+        "e2e_note": "tunnel-transfer-bound; chunked pipeline overlaps D2H/H2D with compute",
+    }
+
+
+def leg_ik_variants(state_path):
+    """Optional ik detail: flat (non-hier) schedule, f16 wire format."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stac_mjx_tpu.utils.batching import batch_kp_data
+
+    ns = _setup()
+    offsets, fitted = _load_offsets(state_path, ns.Stac(ns.xml, ns.cfg, ns.names))
+    offs_dev = jnp.asarray(offsets, jnp.float32)
+    kp_ik = np.tile(ns.kp_base, (N_IK // len(ns.kp_base) + 1, 1))[:N_IK]
+    batched = jnp.asarray(batch_kp_data(kp_ik, CLIP, continuous=False), jnp.float32)
+
+    # Flat-schedule comparison (hier off): the package-default schedule,
+    # for the quality/throughput delta in the JSON.
     cfg_flat = ns.compose_config(
-        "/root/repo/configs",
+        f"{REPO}/configs",
         overrides=[o for o in ns.throughput_overrides
                    if "ik_hier" not in o],
     )
@@ -265,11 +397,11 @@ def leg_ik(state_path):
     )
     resid_flat = float(jnp.mean(out_flat[-1]))
 
-    # Detail leg: f16 wire format (stac.wire_dtype=float16) — mean-centered
-    # f16 keypoints H2D, f16 qpos D2H; compute stays f32 on device. Halves
-    # the wire bytes, which is exactly what binds e2e on this tunnel.
+    # f16 wire format (stac.wire_dtype=float16) — mean-centered f16
+    # keypoints H2D, f16 qpos D2H; compute stays f32 on device. Halves the
+    # wire bytes, which is exactly what binds e2e on this tunnel.
     cfg16 = ns.compose_config(
-        "/root/repo/configs",
+        f"{REPO}/configs",
         overrides=ns.throughput_overrides + ["stac.wire_dtype=float16"],
     )
     if ns.cfg.stac.data_path:
@@ -278,40 +410,10 @@ def leg_ik(state_path):
     stac16.ik_only(kp_ik, offsets)  # warmup compile
     wire_fps = _fps(N_IK, lambda: stac16.ik_only(kp_ik, offsets))
 
-    # Transfer arithmetic (VERDICT r3 weak #2): bytes on the wire for the
-    # lean payload, and the tunnel bandwidth implied by the e2e-vs-device
-    # gap. h2d = keypoints up; d2h = qpos + per-frame errors down.
-    nq = stac.topo.nq
-    h2d_bytes = int(np.prod(batched.shape)) * 4
-    d2h_bytes = (N_IK * nq + N_IK) * 4
-    t_gap = N_IK / ik_e2e_fps - N_IK / ik_dev_fps
-    implied_mbps = (h2d_bytes + d2h_bytes) / 1e6 / t_gap if t_gap > 0 else None
-
     return {
-        "ik_e2e_fps": round(ik_e2e_fps, 2),
-        "ik_e2e_fps_wire_f16": round(wire_fps, 2),
-        "ik_device_only_fps": round(ik_dev_fps, 2),
-        "e2e_over_device": round(ik_e2e_fps / ik_dev_fps, 3),
-        "e2e_over_device_wire_f16": round(wire_fps / ik_dev_fps, 3),
-        "mean_marker_resid_m": round(resid, 6),
-        "ik_schedule": "hierarchical stride=25 fine=10 (see config.py)",
         "ik_device_only_fps_flat_schedule": round(flat_dev_fps, 2),
         "mean_marker_resid_m_flat_schedule": round(resid_flat, 6),
-        "ik_frames": N_IK,
-        "ik_clips": N_IK // CLIP,
-        "offsets_from_fit": fitted,
-        # e2e is transfer-bound on this box; the arithmetic below shows the
-        # gap is fully explained by wire bytes over the ~12 MB/s tunnel.
-        # The chunked ik pipeline (stac.ik_chunk_clips) already overlaps
-        # transfers with compute; on production hosts (PCIe/ICI-attached
-        # chips) e2e ≈ device.
-        "wire_bytes_h2d": h2d_bytes,
-        "wire_bytes_d2h": d2h_bytes,
-        "e2e_minus_device_s": round(t_gap, 4),
-        "implied_tunnel_MBps": (
-            round(implied_mbps, 2) if implied_mbps else None
-        ),
-        "e2e_note": "tunnel-transfer-bound; chunked pipeline overlaps D2H/H2D with compute",
+        "ik_e2e_fps_wire_f16": round(wire_fps, 2),
     }
 
 
@@ -378,7 +480,9 @@ def leg_mfu(state_path):
     q0 = q0.at[:, :3].set(kp[:, 3 * stac._root_kp_idx:3 * stac._root_kp_idx + 3])
 
     kmask = jnp.ones(K3, jnp.float32)
-    eye_l = jnp.eye(nv, dtype=jnp.float32)[:, :, None]
+    # Per-frame damping rides into the Pallas SPD kernel exactly as in the
+    # production iteration (gn_ik.solve_batch) — no XLA lam*I + A add.
+    lam_vec = jnp.full((F,), 1e-4, jnp.float32)
     fk_b = jax.vmap(gn.fk, in_axes=(None, 0))
     jac_b = jax.vmap(gn.jacobian)
 
@@ -395,11 +499,11 @@ def leg_mfu(state_path):
                 out = jnp.mean(J)
             if stage >= 3:
                 e = (p - kp) * kmask
-                A_l = jnp.einsum("frd,fre->def", J, J) + 1e-4 * eye_l
+                A_l = jnp.einsum("frd,fre->def", J, J)
                 g_l = jnp.einsum("frd,fr->df", J, e)
                 out = jnp.mean(A_l) + jnp.mean(g_l)
             if stage >= 4:
-                delta = -gn.spd_solve_lanes(A_l, g_l).T
+                delta = -gn.spd_solve_lanes(A_l, g_l, lam_vec).T
                 out = jnp.mean(delta)
             return q, out.astype(q.dtype)
 
@@ -544,7 +648,7 @@ def leg_mfu(state_path):
     return out
 
 
-def leg_parity(state_path, n_frames):
+def leg_parity(state_path, n_frames, clip=None):
     """Reference-parity mode, MEASURED at the reference's own clip shape.
 
     The parity program is scan(sequential frames) vmapped over clips. A
@@ -556,16 +660,17 @@ def leg_parity(state_path, n_frames):
     construction, asserted bitwise in
     tests/test_pipeline.py::test_ik_sequential_segments_match_monolithic).
     The chain is still strictly sequential compute, so this measures — not
-    extrapolates — the parity architecture at PARITY_CLIP(=250)-frame clips
-    on the headline workload's clip grid (VERDICT r3 #1).
+    extrapolates — the parity architecture at the measured clip length
+    (PARITY_CLIP=250 by default; the orchestrator shortens the clip when
+    the deadline budget demands it and the leg JSON records the shape).
     """
     import numpy as np
 
-    clip = PARITY_CLIP
+    clip = PARITY_CLIP if clip is None else int(clip)
     n_frames = max(clip, (n_frames // clip) * clip)
     ns = _setup()
     par_cfg = ns.compose_config(
-        "/root/repo/configs",
+        f"{REPO}/configs",
         overrides=[
             f"stac.n_frames_per_clip={clip}",
             "stac.pose_mode=sequential",
@@ -594,7 +699,7 @@ def leg_parity(state_path, n_frames):
     measured_fps = n_frames / wall
     chain_s_per_frame = wall / clip
     return {
-        # Measured at full 250-frame chains (no extrapolation): the wall
+        # Measured at full `clip`-frame chains (no extrapolation): the wall
         # time of n_clips vmapped chains of `clip` sequential frames.
         "baseline_parity_mode_fps": round(measured_fps, 3),
         "parity_measured_fps_at_shape": round(measured_fps, 3),
@@ -603,16 +708,14 @@ def leg_parity(state_path, n_frames):
         "parity_clips": n_clips,
         "parity_frames": n_frames,
         "parity_segment_frames": PARITY_SEGMENT,
-        # The headline ik runs 40 clips; when this leg's 40-clip run
-        # exceeds its timeout the orchestrator retries at fewer clips, so
-        # vs_baseline then compares ratios at different vmap widths. The
-        # sequential chain is latency-bound (r3 measured the per-frame
-        # chain rate width-independent at small widths), so the
-        # as-measured ratio UNDERSTATES the baseline by at most the width
-        # factor; both numbers are recoverable from parity_clips here.
+        # The sequential chain is latency-bound (r3 measured the per-frame
+        # chain rate width-independent at small widths), so when this leg
+        # runs at fewer clips than the headline ik's 40 the as-measured
+        # ratio UNDERSTATES the baseline by at most the width factor; both
+        # numbers are recoverable from parity_clips here.
         "parity_width_note": (
-            f"measured at {n_clips} vmapped clips; headline ik uses "
-            f"{N_IK // CLIP}"
+            f"measured at {n_clips} vmapped clips x {clip} frames; "
+            f"headline ik uses {N_IK // CLIP} x {CLIP}"
         ),
         "offsets_from_fit": fitted,
     }
@@ -662,18 +765,23 @@ def leg_dispatch(state_path):
     return {"ref_style_dispatch_fps": round(_fps(n_disp, _ref_style), 3)}
 
 
+LEG_FNS = {
+    "probe": leg_probe,
+    "fit": leg_fit,
+    "fit_variants": leg_fit_variants,
+    "ik": leg_ik,
+    "ik_variants": leg_ik_variants,
+    "mfu": leg_mfu,
+    "dispatch": leg_dispatch,
+}
+
+
 def run_leg(name, args):
     """Leg entry (subprocess side): run it, print the prefixed JSON line."""
-    if name == "fit":
-        out = leg_fit(args.state)
-    elif name == "ik":
-        out = leg_ik(args.state)
-    elif name == "parity":
-        out = leg_parity(args.state, args.frames)
-    elif name == "dispatch":
-        out = leg_dispatch(args.state)
-    elif name == "mfu":
-        out = leg_mfu(args.state)
+    if name == "parity":
+        out = leg_parity(args.state, args.frames, clip=args.clip)
+    elif name in LEG_FNS:
+        out = LEG_FNS[name](args.state)
     else:
         raise SystemExit(f"unknown leg {name}")
     import jax
@@ -686,25 +794,98 @@ def run_leg(name, args):
 # ------------------------------------------------------------- orchestrator
 
 
-def spawn_leg(name, state_path, extra=()):
-    """Run one leg in a subprocess; return (dict or None, diagnostic str)."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--leg", name,
-           "--state", state_path, *extra]
-    timeout_s = PARITY_TIMEOUT_S if name == "parity" else LEG_TIMEOUT_S
-    try:
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=timeout_s
+class Orchestrator:
+    """Deadline-governed leg scheduler with streaming summary emission."""
+
+    def __init__(self, state_path):
+        self.t_end = time.time() + DEADLINE_S
+        self.state_path = state_path
+        self.detail = {}
+        self.notes = {}
+        self.partial_path = os.path.join(REPO, "BENCH_PARTIAL.json")
+
+    def remaining(self):
+        return self.t_end - time.time()
+
+    def spawn(self, name, reserve_after=0.0, extra=(), budget=None):
+        """Run one leg in a subprocess within the remaining budget.
+
+        reserve_after: seconds to keep back for headline legs still queued
+        — this leg's timeout is cut so they still get their minimum slots.
+        """
+        budget = LEG_BUDGET_S.get(name, 600.0) if budget is None else budget
+        min_s = LEG_MIN_S.get(name, 180.0)
+        timeout_s = min(budget, self.remaining() - reserve_after - 20.0)
+        if timeout_s < min_s:
+            # Reservations are heuristic — if the wall clock itself still
+            # has room, run this leg at its minimum slot rather than skip.
+            if self.remaining() - 20.0 >= min_s:
+                timeout_s = min_s
+            else:
+                self.notes[name] = (
+                    f"skipped: {max(timeout_s, 0):.0f}s slot < {min_s:.0f}s "
+                    f"minimum (deadline)"
+                )
+                return None
+        cmd = [sys.executable, os.path.abspath(__file__), "--leg", name,
+               "--state", self.state_path, *extra]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=timeout_s
+            )
+        except subprocess.TimeoutExpired:
+            self.notes[name] = f"timeout after {timeout_s:.0f}s"
+            return None
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(LEG_PREFIX):
+                try:
+                    out = json.loads(line[len(LEG_PREFIX):])
+                    self.notes[name] = "ok"
+                    self.detail.update(out)
+                    return out
+                except json.JSONDecodeError as e:
+                    self.notes[name] = f"bad leg json: {e}"
+                    return None
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+        self.notes[name] = f"rc={proc.returncode}: " + " | ".join(tail)
+        return None
+
+    def summary(self):
+        detail = dict(self.detail)
+        detail["baseline_parity_mode"] = (
+            "pg-jaxopt sequential scan, 400 PG iters + part refinement, "
+            "measured via bitwise-identical segmented dispatches at the "
+            "clip length in parity_clip_frames (see module docstring)"
         )
-    except subprocess.TimeoutExpired:
-        return None, f"timeout after {timeout_s}s"
-    for line in reversed(proc.stdout.splitlines()):
-        if line.startswith(LEG_PREFIX):
-            try:
-                return json.loads(line[len(LEG_PREFIX):]), "ok"
-            except json.JSONDecodeError as e:
-                return None, f"bad leg json: {e}"
-    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
-    return None, f"rc={proc.returncode}: " + " | ".join(tail)
+        detail["leg_status"] = dict(self.notes)
+        detail["deadline_s"] = DEADLINE_S
+        detail["deadline_left_s"] = round(self.remaining(), 1)
+        value = detail.get("ik_e2e_fps")
+        parity_fps = detail.get("baseline_parity_mode_fps")
+        vs = (
+            round(value / parity_fps, 1)
+            if value is not None and parity_fps
+            else None
+        )
+        return {
+            "metric": "rodent_ik10k_frames_per_s_per_chip",
+            "value": value,
+            "unit": "frames/s",
+            "vs_baseline": vs,
+            "detail": detail,
+        }
+
+    def emit(self):
+        """Print the current summary line AND mirror it to BENCH_PARTIAL.json
+        — a hard kill of this process still leaves the latest populated
+        headline in the recorded stdout tail and on disk."""
+        line = json.dumps(self.summary())
+        print(line, flush=True)
+        try:
+            with open(self.partial_path, "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
 
 
 def main() -> int:
@@ -712,6 +893,7 @@ def main() -> int:
     parser.add_argument("--leg", default=None)
     parser.add_argument("--state", default=None)
     parser.add_argument("--frames", type=int, default=N_PARITY)
+    parser.add_argument("--clip", type=int, default=None)
     parser.add_argument("--scaling", action="store_true",
                         help="run the weak-scaling harness instead")
     args = parser.parse_args()
@@ -723,67 +905,52 @@ def main() -> int:
     if args.leg:
         return run_leg(args.leg, args)
 
-    detail = {}
-    notes = {}
     with tempfile.TemporaryDirectory() as td:
-        state = os.path.join(td, "bench_state.npz")
-
-        fit, diag = spawn_leg("fit", state)
-        if fit is None:  # one retry: compiles are cached, worker restarts
-            fit, diag = spawn_leg("fit", state)
-        notes["fit"] = diag
-
-        ik, diag = spawn_leg("ik", state)
-        if ik is None:
-            ik, diag = spawn_leg("ik", state)
-        notes["ik"] = diag
-
-        parity, diag = spawn_leg("parity", state, ("--frames", str(N_PARITY)))
-        if parity is None:
-            # the long sequential-scan program is the crash-prone one —
-            # retry at a smaller (still per-frame-rate-valid) size
-            parity, diag = spawn_leg(
-                "parity",
-                state,
-                ("--frames", str(max(N_PARITY // 4, PARITY_CLIP))),
-            )
-        notes["parity"] = diag
-
-        dispatch, diag = spawn_leg("dispatch", state)
-        notes["dispatch"] = diag
-
-        mfu, diag = spawn_leg("mfu", state)
-        notes["mfu"] = diag
-
-    for leg in (fit, ik, parity, dispatch, mfu):
-        if leg:
-            detail.update(leg)
-    detail["baseline_parity_mode"] = (
-        "pg-jaxopt sequential scan, 400 PG iters + part refinement, "
-        "measured at 250-frame clips via bitwise-identical segmented "
-        "dispatches (see module docstring)"
-    )
-    detail["leg_status"] = notes
-
-    value = ik.get("ik_e2e_fps") if ik else None
-    parity_fps = parity.get("baseline_parity_mode_fps") if parity else None
-    vs = (
-        round(value / parity_fps, 1)
-        if value is not None and parity_fps
-        else None
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "rodent_ik10k_frames_per_s_per_chip",
-                "value": value,
-                "unit": "frames/s",
-                "vs_baseline": vs,
-                "detail": detail,
-            }
+        orch = Orchestrator(os.path.join(td, "bench_state.npz"))
+        headline_reserve = (
+            LEG_MIN_S["fit"] + LEG_MIN_S["ik"] + LEG_MIN_S["parity"]
         )
-    )
-    return 0 if value is not None else 1
+
+        probe = orch.spawn("probe", reserve_after=headline_reserve)
+        bad_window = probe is None or probe.get("probe_window") == "bad"
+        orch.emit()
+
+        orch.spawn("fit", reserve_after=LEG_MIN_S["ik"] + LEG_MIN_S["parity"])
+        orch.emit()
+
+        orch.spawn("ik", reserve_after=LEG_MIN_S["parity"])
+        orch.emit()
+
+        # Parity clip length adapts to the remaining budget: the chain cost
+        # is clip_frames x ~4 s/frame (+ segment compiles), so 250-frame
+        # clips need a ~1300 s slot. Shorter clips stay honest — the leg
+        # records the measured shape.
+        slot = min(orch.remaining() - 20.0, LEG_BUDGET_S["parity"])
+        if bad_window:
+            slot = min(slot, 700.0)  # don't sink the run into one leg
+        if slot > 1300:
+            clip = PARITY_CLIP
+        elif slot > 700:
+            clip = min(PARITY_CLIP, 100)
+        else:
+            clip = min(PARITY_CLIP, 50)
+        orch.spawn(
+            "parity",
+            extra=("--frames", str(N_PARITY), "--clip", str(clip)),
+            budget=slot,
+        )
+        orch.emit()
+
+        # Optional legs, value order, only while budget remains; a bad
+        # tunnel window skips them outright (each would pay 15+ min
+        # compiles for detail-only numbers).
+        if not bad_window:
+            for name in ("mfu", "ik_variants", "fit_variants", "dispatch"):
+                orch.spawn(name)
+                orch.emit()
+
+    orch.emit()
+    return 0 if orch.summary()["value"] is not None else 1
 
 
 if __name__ == "__main__":
