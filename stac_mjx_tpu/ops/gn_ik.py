@@ -73,7 +73,7 @@ class GNIK:
         fk_impl: str = "scan",
         linesearch: bool = True,
         spd_impl: str = "auto",
-        stall_iters: int = 3,
+        stall_iters: int = 0,
         damping_rule: str = "nielsen",
     ):
         """linesearch=False selects the flat LM schedule: exactly one
@@ -89,7 +89,9 @@ class GNIK:
         paying FK/Jacobian/einsum/solve sweeps. Freezing is per-lane, so
         each lane's result depends only on its own trajectory: batch
         composition cannot change results, preserving the bitwise
-        chunked==single-program guarantee. 0 disables (fixed maxiter).
+        chunked==single-program guarantee. 0 (the default, matching
+        StacConfig.gn_stall_iters — measured a strict loss on the
+        flagship lockstep workloads) disables (fixed maxiter).
 
         damping_rule: flat-LM lambda adaptation. "nielsen" (default)
         uses the gain-ratio accept rule (Madsen, Nielsen & Tingleff,
@@ -421,6 +423,16 @@ class GNIK:
                 # (JtJ + lam I) delta = -g:  pred = delta.(lam*delta - g).
                 # On accept lam *= max(1/3, 1-(2*rho-1)^3) — near-GN steps
                 # (rho ~ 1) cut lam hard, marginal ones leave it alone.
+                # Scaling note (the 1/2): alg. 3.16 states the model
+                # reduction of F = 1/2 e'e as L(0)-L(delta) =
+                # 1/2 delta.(lam*delta - g). This code's loss carry f_x is
+                # e'e = 2F, so `gain` below is 2x the textbook actual
+                # reduction AND `pred` (without the 1/2) is 2x the textbook
+                # predicted reduction — the factors cancel and rho IS
+                # exactly the textbook gain ratio. (g = J'e is the gradient
+                # of F, not of e'e, in both formulations; cross-checked
+                # numerically in tests/test_gn_ik.py::test_nielsen_rho_
+                # matches_textbook_gain_ratio.)
                 pred = jnp.sum(delta * (lam[:, None] * delta - g_l.T), axis=-1)
                 # rho from the PRE-update loss drop (`gain` captured
                 # f_x - f_new before f_x was overwritten above).

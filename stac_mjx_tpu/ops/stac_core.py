@@ -53,7 +53,7 @@ class StacCore:
         q_solver: str = "pg",
         fk_impl: str = "scan",
         spd_impl: str = "auto",
-        gn_stall_iters: int = 3,
+        gn_stall_iters: int = 0,
         gn_damping_rule: str = "nielsen",
         gn_iters: int = 0,
     ):
@@ -68,7 +68,10 @@ class StacCore:
         (pointer doubling, O(log depth) steps — the TPU throughput FK).
         spd_impl: normal-equation solve backend for the GN solvers —
         "auto" (Pallas kernel on TPU, XLA elsewhere), "pallas",
-        "pallas-interpret", or "xla" (see stac_mjx_tpu/ops/spd.py)."""
+        "pallas-interpret", or "xla" (see stac_mjx_tpu/ops/spd.py).
+        gn_stall_iters: flat-LM early exit; default 0 (off), matching
+        StacConfig.gn_stall_iters — measured a strict loss on the
+        flagship lockstep workloads (see config.py for the numbers)."""
         self.topo = topo
         self.site_idxs = np.asarray(site_idxs)
         self.site_body = topo.site_bodyid[self.site_idxs]

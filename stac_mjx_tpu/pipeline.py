@@ -235,6 +235,7 @@ def pose_optimization(
     lb: jnp.ndarray,
     ub: jnp.ndarray,
     maxiter: int | None = None,
+    root_reseed: bool = True,
 ):
     """Pose solves over a clip.
 
@@ -243,6 +244,14 @@ def pose_optimization(
     lockstep mode: all frames initialized independently (root xyz seeded from
     each frame's root keypoint when available) and solved in one vmap — the
     TPU throughput path.
+
+    root_reseed (lockstep only): overwrite each frame's warm-start root
+    translation with that frame's raw root-keypoint xyz. Right when the
+    warm start's translation is stale (a clip-level root solve broadcast
+    to every frame); wrong when the warm start already carries a SOLVED
+    per-frame translation — the hierarchical fine pass's interpolated
+    seeds and the fit warm passes set it False so those seeds survive
+    (ADVICE r4).
 
     Returns (q_final_carry, qposes (F,nq), xposes, xquats, marker_sites,
     errors (F,)). ``errors`` is the per-frame mean marker Euclidean
@@ -263,7 +272,7 @@ def pose_optimization(
             q0b = q_init
         else:
             q0b = jnp.broadcast_to(q_init, (F, q_init.shape[0]))
-        if cfg.root_kp_idx >= 0 and cfg.do_root_opt:
+        if cfg.root_kp_idx >= 0 and cfg.do_root_opt and root_reseed:
             root_xyz = jax.lax.dynamic_slice(
                 kp_data, (0, 3 * cfg.root_kp_idx), (F, 3)
             )
@@ -439,7 +448,11 @@ def fit_offsets_program(
         q_init = q_warm if (lockstep and q_warm is not None) else q
         mi = warm_iters if q_warm is not None else None
         q, qposes, _, _, _, errors = pose_optimization(
-            core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi
+            core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi,
+            # A full per-frame warm start already carries last pass's
+            # SOLVED root translation; don't overwrite it with raw
+            # keypoint xyz (ADVICE r4).
+            root_reseed=q_warm is None,
         )
         q_warm = qposes if (lockstep and warm_iters is not None) else None
         params, offsets, m_err = offset_optimization(
@@ -450,7 +463,8 @@ def fit_offsets_program(
     q_init = q_warm if (lockstep and q_warm is not None) else q
     mi = warm_iters if q_warm is not None else None
     q, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
-        core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi
+        core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi,
+        root_reseed=q_warm is None,
     )
 
     out = {
@@ -525,7 +539,8 @@ def fit_offsets_sharded(
             q_init = q_warm if q_warm is not None else q
             mi = warm_iters if q_warm is not None else None
             q, qposes, _, _, _, errors = pose_optimization(
-                core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi
+                core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi,
+                root_reseed=q_warm is None,
             )
             q_warm = qposes if warm_iters is not None else None
             params, offsets, m_err = offset_optimization(
@@ -544,7 +559,8 @@ def fit_offsets_sharded(
         q_init = q_warm if q_warm is not None else q
         mi = warm_iters if q_warm is not None else None
         q, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
-            core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi
+            core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi,
+            root_reseed=q_warm is None,
         )
         iter_frame = (
             jnp.stack([fe for fe, _ in iter_errors])
@@ -742,7 +758,12 @@ def ik_only_program(
         else:
             q0_flat = jnp.repeat(roots, Fc, axis=0)
         _, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
-            core, cfg, params, kp_flat, q0_flat, lb, ub, maxiter=fine_iters
+            core, cfg, params, kp_flat, q0_flat, lb, ub, maxiter=fine_iters,
+            # Hier seeds carry the nlerp-INTERPOLATED root translation of
+            # two solved coarse frames — strictly better than the raw
+            # root-keypoint xyz (which sits a site-offset away from the
+            # body origin); don't overwrite it.
+            root_reseed=not use_hier,
         )
         shape = lambda a: a.reshape(C, Fc, *a.shape[1:])  # noqa: E731
         if not return_full:

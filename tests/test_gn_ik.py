@@ -381,3 +381,71 @@ def test_solve_batch_nielsen_damping_recovers_pose(free_chain):
     # both drive the marker residual to ~zero on this recoverable problem
     assert float(jnp.max(rn.error)) < 1e-4
     assert float(jnp.max(rf.error)) < 1e-4
+
+
+def test_nielsen_rho_matches_textbook_gain_ratio(free_chain):
+    """The implemented gain ratio IS the Madsen-Nielsen-Tingleff rho.
+
+    The solver's loss carry is f = e'e (2x the textbook F = 1/2 e'e) and
+    its predicted reduction drops the textbook 1/2 — the factors cancel,
+    so rho is exactly the textbook ratio (see the scaling note in
+    gn_ik.solve_batch). This test discriminates that from the
+    halved-rho reading: one accepted LM step with rho_textbook ~ 1 must
+    shrink lam by the clamped factor 1/3 (shrink(rho~1) = 1/3), whereas a
+    half-valued rho (~0.5) would give shrink = 1 - (2*0.5-1)^3 = 1.0 —
+    3x apart, far outside f32 noise.
+    """
+    topo, params, core, gn = free_chain
+    rng = np.random.default_rng(7)
+    nq = topo.nq
+    F = 4
+    lam0 = 1e-2
+    q_true = np.stack([_rand_q(topo, params, rng, 0.15) for _ in range(F)])
+    kp = jax.vmap(lambda q: core.fk(params, q).site_xpos[:3].reshape(-1))(
+        jnp.asarray(q_true, jnp.float32)
+    )
+    kmask = jnp.ones(kp.shape[1], kp.dtype)
+    q0 = jnp.broadcast_to(params.qpos0, (F, nq))
+    lb = -jnp.full(nq, jnp.inf)
+    ub = jnp.full(nq, jnp.inf)
+    qs_all = jnp.ones(nq, bool)
+
+    one = GNIK(topo, np.arange(3), maxiter=1, tol=1e-12, linesearch=False,
+               stall_iters=0, damping_rule="nielsen", damping_init=lam0)
+    res = one.solve_batch(params, kp, qs_all, kmask, q0, lb, ub)
+    lam_solver = 1.0 / np.asarray(res.stepsize, np.float64) - 1.0
+
+    # Replicate the single step manually and compute the TEXTBOOK rho
+    # (F = 1/2 e'e, pred = 1/2 delta.(lam*delta - g)) in float64.
+    fk_b = jax.vmap(one.fk, in_axes=(None, 0))
+    fk0 = fk_b(params, q0)
+    p0 = np.asarray(fk0.site_xpos[:, one.site_idxs].reshape(F, -1), np.float64)
+    e0 = p0 - np.asarray(kp, np.float64)
+    J = np.asarray(jax.vmap(one.jacobian)(fk0), np.float64)
+    A = np.einsum("frd,fre->fde", J, J)
+    g = np.einsum("frd,fr->fd", J, e0)
+    delta = -np.linalg.solve(
+        A + lam0 * np.eye(one.nv)[None], g[:, :, None]
+    )[:, :, 0]
+    q_new = jax.vmap(one.retract)(q0, jnp.asarray(delta, jnp.float32))
+    p_new = np.asarray(
+        fk_b(params, q_new).site_xpos[:, one.site_idxs].reshape(F, -1),
+        np.float64,
+    )
+    e_new = p_new - np.asarray(kp, np.float64)
+    F0 = 0.5 * np.sum(e0 * e0, axis=-1)
+    F1 = 0.5 * np.sum(e_new * e_new, axis=-1)
+    pred_tb = 0.5 * np.sum(delta * (lam0 * delta - g), axis=-1)
+    rho_tb = (F0 - F1) / pred_tb
+    assert np.all(F1 < F0), "test premise: first step accepted on all lanes"
+    # Premise for the discrimination below: textbook rho lands in the
+    # shrink clamp (>= ~0.8) while rho/2 lands in the smooth branch.
+    assert np.all(rho_tb > 0.8) and np.all(rho_tb < 1.6), rho_tb
+
+    def lam_after(rho):
+        shrink = np.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        return np.clip(lam0 * shrink, 1e-7, 1e8)
+
+    np.testing.assert_allclose(lam_solver, lam_after(rho_tb), rtol=1e-3)
+    # The halved-rho hypothesis predicts a lam at least ~2.9x larger.
+    assert np.all(lam_after(rho_tb / 2) > 2.5 * lam_solver)
