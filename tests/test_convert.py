@@ -91,3 +91,90 @@ def test_describe_reference_nwb():
     )
     assert info["n_frames"] == 1
     assert len(info["nodes"]) == 1
+
+
+def test_save_nwb_structural_completeness(tmp_path):
+    """The writer emits the full pynwb-shaped NWB 2.x tree (VERDICT r4:
+    object_ids, required groups, full TimeSeries attribute set)."""
+    import h5py
+
+    data = _synthetic_recording(n_frames=5, n_kp=2)
+    out = convert.save_nwb(tmp_path / "rec.nwb", data, ["a", "b"], fps=20.0)
+    with h5py.File(out, "r") as f:
+        # root typed-object attrs
+        assert f.attrs["neurodata_type"] == "NWBFile"
+        assert f.attrs["namespace"] == "core"
+        assert len(f.attrs["object_id"]) == 36  # uuid4
+        assert f.attrs["nwb_version"].startswith("2.")
+        # required NWBFile tree
+        for path in (
+            "acquisition", "analysis", "general",
+            "stimulus/presentation", "stimulus/templates",
+        ):
+            assert path in f, path
+        for ds in (
+            "file_create_date", "identifier", "session_description",
+            "session_start_time", "timestamps_reference_time",
+        ):
+            assert ds in f, ds
+        assert f["file_create_date"].shape == (1,)
+        # ProcessingModule + PoseEstimation typed and object_id'd
+        bh = f["processing/behavior"]
+        assert bh.attrs["neurodata_type"] == "ProcessingModule"
+        assert len(bh.attrs["object_id"]) == 36
+        pe = bh["PoseEstimation"]
+        assert pe.attrs["namespace"] == "ndx-pose"
+        assert pe["edges"].shape == (0, 2)
+        assert "version" in pe["source_software"].attrs
+        # series: full SpatialSeries attribute set per object
+        s = pe["a"]
+        assert s.attrs["neurodata_type"] == "PoseEstimationSeries"
+        assert len(s.attrs["object_id"]) == 36
+        assert s["data"].attrs["unit"] == "meters"
+        assert s["data"].attrs["conversion"] == 1.0
+        assert s["data"].attrs["resolution"] == -1.0
+        assert s["timestamps"].attrs["unit"] == "seconds"
+        assert s["timestamps"].attrs["interval"] == 1
+        assert "definition" in s["confidence"].attrs
+        # distinct object_ids
+        ids = {
+            f.attrs["object_id"], bh.attrs["object_id"],
+            pe.attrs["object_id"], pe["a"].attrs["object_id"],
+            pe["b"].attrs["object_id"],
+        }
+        assert len(ids) == 5
+
+
+def test_save_nwb_spec_donor_copy(tmp_path):
+    """spec_from embeds the donor's cached schema + .specloc reference,
+    making the output schema-self-describing like a pynwb-written file."""
+    import h5py
+
+    donor = reference_path("tests/data/test_synth_1_frames.nwb")
+    data = _synthetic_recording(n_frames=3, n_kp=1)
+    out = convert.save_nwb(
+        tmp_path / "rec.nwb", data, ["snout"], spec_from=donor
+    )
+    with h5py.File(out, "r") as f:
+        assert "specifications" in f
+        # the ndx-pose extension spec is the one stock pynwb lacks
+        assert "ndx-pose" in f["specifications"]
+        ver = next(iter(f["specifications/ndx-pose"]))
+        ns = f[f"specifications/ndx-pose/{ver}/namespace"][()]
+        assert b"namespaces" in ns
+        # .specloc resolves to the copied group
+        assert f[f.attrs[".specloc"]].name == "/specifications"
+    # still round-trips through our loader
+    loaded, names = io.load_nwb(out)
+    assert names == ["snout"]
+    np.testing.assert_allclose(loaded, data)
+
+
+def test_save_nwb_spec_donor_without_specs(tmp_path):
+    """A donor lacking /specifications is a clear error, not silence."""
+    data = _synthetic_recording(n_frames=2, n_kp=1)
+    plain = convert.save_nwb(tmp_path / "plain.nwb", data, ["a"])
+    with pytest.raises(ValueError, match="specifications"):
+        convert.save_nwb(
+            tmp_path / "x.nwb", data, ["a"], spec_from=plain
+        )
