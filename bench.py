@@ -17,7 +17,9 @@ any tunnel weather.
     recorded stdout tail. The last line printed is always the most complete.
   * HEADLINE-FIRST — legs run in value order: probe, fit, ik, parity, then
     the optional legs (mfu, ik/fit variants, dispatch) only if budget
-    remains. No per-leg retries: one shared deadline.
+    remains. No timeout retries (the shared deadline owns that tradeoff);
+    a leg whose SUBPROCESS CRASHES (sporadic tunnel-worker kernel faults)
+    retries once inside the deadline — parity at a shorter clip.
   * TUNNEL PROBE — a 512x512 matmul compile in a subprocess classifies the
     tunnel window (good <90 s; CLAUDE.md: bad windows take 15+ min per
     compile). A bad window drops the optional legs up front and shortens
@@ -850,6 +852,29 @@ class Orchestrator:
         self.notes[name] = f"rc={proc.returncode}: " + " | ".join(tail)
         return None
 
+    def spawn_retry_crash(self, name, reserve_after=0.0, extra=(), budget=None):
+        """spawn(), retrying ONCE after a subprocess crash (rc != 0).
+
+        Timeouts do NOT retry — the global deadline owns that tradeoff
+        (VERDICT r4 #1d). Crashes are different: the tunnel-attached TPU
+        worker dies sporadically (kernel faults — CLAUDE.md), the failure
+        is usually fast, and the restarted worker generally recovers, so
+        one bounded retry inside the same deadline is cheap insurance
+        (measured: the r5 builder bench lost only its parity leg to
+        exactly such a crash).
+        """
+        out = self.spawn(name, reserve_after=reserve_after, extra=extra,
+                         budget=budget)
+        note = self.notes.get(name, "")
+        if out is None and note.startswith("rc="):
+            out = self.spawn(name, reserve_after=reserve_after, extra=extra,
+                             budget=budget)
+            self.notes[name] = (
+                f"{self.notes.get(name, '')} "
+                f"(retried after crash: {note[:120]})"
+            )
+        return out
+
     def summary(self):
         detail = dict(self.detail)
         detail["baseline_parity_mode"] = (
@@ -915,10 +940,12 @@ def main() -> int:
         bad_window = probe is None or probe.get("probe_window") == "bad"
         orch.emit()
 
-        orch.spawn("fit", reserve_after=LEG_MIN_S["ik"] + LEG_MIN_S["parity"])
+        orch.spawn_retry_crash(
+            "fit", reserve_after=LEG_MIN_S["ik"] + LEG_MIN_S["parity"]
+        )
         orch.emit()
 
-        orch.spawn("ik", reserve_after=LEG_MIN_S["parity"])
+        orch.spawn_retry_crash("ik", reserve_after=LEG_MIN_S["parity"])
         orch.emit()
 
         # Parity clip length adapts to the remaining budget: the chain cost
@@ -934,12 +961,29 @@ def main() -> int:
             clip = min(PARITY_CLIP, 100)
         else:
             clip = min(PARITY_CLIP, 50)
-        orch.spawn(
+        out = orch.spawn(
             "parity",
             extra=("--frames", str(N_PARITY), "--clip", str(clip)),
             budget=slot,
         )
         orch.emit()
+        if out is None and orch.notes.get("parity", "").startswith("rc="):
+            # Worker crash (not a timeout): retry once at a shorter clip —
+            # less continuous dispatch exposure — within what remains.
+            crash = orch.notes["parity"]
+            slot2 = min(orch.remaining() - 20.0, LEG_BUDGET_S["parity"])
+            clip2 = min(clip, 100)
+            if slot2 >= LEG_MIN_S["parity"]:
+                orch.spawn(
+                    "parity",
+                    extra=("--frames", str(N_PARITY), "--clip", str(clip2)),
+                    budget=slot2,
+                )
+                orch.notes["parity"] = (
+                    f"{orch.notes['parity']} "
+                    f"(retried at clip={clip2} after crash: {crash[:120]})"
+                )
+                orch.emit()
 
         # Optional legs, value order, only while budget remains; a bad
         # tunnel window skips them outright (each would pay 15+ min
