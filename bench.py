@@ -7,7 +7,7 @@ Delivery discipline (VERDICT r4 #1 — round 4's numbers evaporated in a
 driver timeout): the orchestrator now guarantees a populated artifact under
 any tunnel weather.
 
-  * GLOBAL DEADLINE — ``STAC_BENCH_DEADLINE`` seconds (default 2400) for the
+  * GLOBAL DEADLINE — ``STAC_BENCH_DEADLINE`` seconds (default 3000) for the
     whole run. Every leg's subprocess timeout is cut to the remaining
     budget (minus reservations for the headline legs still queued); legs
     that no longer fit are SKIPPED with a note, never started.
@@ -36,7 +36,9 @@ a TPU-worker kernel fault costs only that leg. Legs:
              (hierarchical schedule, the measured-best; config.py). e2e
              includes host->device placement and the lean D2H pull; the
              device-only time of the same jitted program is reported
-             alongside.
+             alongside. NOTE: e2e rides the day's tunnel bandwidth (r3's
+             window measured ~25 MB/s, r5's ~10 MB/s — the
+             implied_tunnel_MBps field makes the day's rate explicit).
   * parity — the baseline: this framework's reference-parity execution mode
              on the SAME chip (`q_solver=pg-jaxopt pose_mode=sequential`,
              the whole-program lax.scan replication of the reference's
@@ -82,14 +84,27 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 N_FIT = int(os.environ.get("STAC_BENCH_FIT_FRAMES", 250))
 CLIP = int(os.environ.get("STAC_BENCH_CLIP_FRAMES", 250))
 N_IK = int(os.environ.get("STAC_BENCH_IK_FRAMES", 10_000))
-N_PARITY = int(os.environ.get("STAC_BENCH_PARITY_FRAMES", 10_000))
+# Parity default is 10 clips x 250 frames, NOT the ik leg's 40 clips: the
+# sequential chain rate is width-independent at small widths (so the
+# s/frame measurement is the same), and the 40-clip parity shape crashed
+# the tunnel-attached TPU worker twice in r5 where the 10-clip shape runs
+# reliably — 4x less continuous-dispatch exposure. The leg JSON records
+# the measured shape; parity_width_note relates it to the ik width.
+N_PARITY = int(os.environ.get("STAC_BENCH_PARITY_FRAMES", 2_500))
 PARITY_CLIP = int(os.environ.get("STAC_BENCH_PARITY_CLIP", 250))
-PARITY_SEGMENT = int(os.environ.get("STAC_BENCH_PARITY_SEGMENT", 10))
+# 5-frame segments (~18 s of device time per dispatch at 10 clips): r5
+# measured the tunnel worker's tolerance varying by the day — 10-frame
+# (~36 s) segment programs crashed it on a day when 5-frame ones ran
+# reliably. Segmentation is bitwise-neutral (see leg docstring); the only
+# cost is ~0.1 s dispatch latency per extra segment, noise on a ~900 s leg.
+PARITY_SEGMENT = int(os.environ.get("STAC_BENCH_PARITY_SEGMENT", 5))
 # Global wall-clock budget for the WHOLE bench run. BENCH_r01-r03 landed
 # inside the driver window; r4 (which had grown to ~4 h worst-case) hit
-# rc=124 with nothing printed. 2400 s keeps the worst case well inside any
-# window that fit r1-r3.
-DEADLINE_S = float(os.environ.get("STAC_BENCH_DEADLINE", 2400))
+# rc=124 with nothing printed. 3000 s fits the measured r5 leg costs
+# (parity at the reference's 250-frame clip shape alone needs ~1700 s on a
+# median tunnel day) while staying inside any window that fit r1-r3; if an
+# outer window closes first, the streamed per-leg summaries still deliver.
+DEADLINE_S = float(os.environ.get("STAC_BENCH_DEADLINE", 3000))
 PROBE_TIMEOUT_S = float(os.environ.get("STAC_BENCH_PROBE_TIMEOUT", 420))
 PROBE_GOOD_S = float(os.environ.get("STAC_BENCH_PROBE_GOOD", 90))
 
@@ -98,7 +113,10 @@ LEG_BUDGET_S = {
     "probe": PROBE_TIMEOUT_S,
     "fit": 900.0,
     "ik": 900.0,
-    "parity": 1500.0,
+    # Measured r5 (median tunnel day): 2 PG program compiles + the 250-frame
+    # measured chain ~= 1600-1700 s; 1500 s timed out just short of the
+    # finish line.
+    "parity": 1900.0,
     "mfu": 600.0,
     "ik_variants": 600.0,
     "fit_variants": 600.0,
@@ -650,7 +668,7 @@ def leg_mfu(state_path):
     return out
 
 
-def leg_parity(state_path, n_frames, clip=None):
+def leg_parity(state_path, n_frames, clip=None, segment=None):
     """Reference-parity mode, MEASURED at the reference's own clip shape.
 
     The parity program is scan(sequential frames) vmapped over clips. A
@@ -669,6 +687,7 @@ def leg_parity(state_path, n_frames, clip=None):
     import numpy as np
 
     clip = PARITY_CLIP if clip is None else int(clip)
+    segment = PARITY_SEGMENT if segment is None else int(segment)
     n_frames = max(clip, (n_frames // clip) * clip)
     ns = _setup()
     par_cfg = ns.compose_config(
@@ -678,7 +697,7 @@ def leg_parity(state_path, n_frames, clip=None):
             "stac.pose_mode=sequential",
             "stac.q_solver=pg-jaxopt",
             "stac.ik_return_full=false",
-            f"stac.seq_segment_frames={PARITY_SEGMENT}",
+            f"stac.seq_segment_frames={segment}",
         ],
     )
     par = ns.Stac(ns.xml, par_cfg, ns.names)
@@ -689,10 +708,10 @@ def leg_parity(state_path, n_frames, clip=None):
     n_clips = n_frames // clip
 
     # Warmup: compile the first-segment and rest-segment programs at the
-    # measured run's exact shapes (C clips x PARITY_SEGMENT frames) on a
+    # measured run's exact shapes (C clips x `segment` frames) on a
     # 2-segment mini-clip; the measured run then hits the jit cache.
-    par.cfg.stac.n_frames_per_clip = 2 * PARITY_SEGMENT
-    par.ik_only(kp_par[: n_clips * 2 * PARITY_SEGMENT], offsets)
+    par.cfg.stac.n_frames_per_clip = 2 * segment
+    par.ik_only(kp_par[: n_clips * 2 * segment], offsets)
     par.cfg.stac.n_frames_per_clip = clip
 
     t0 = time.time()
@@ -709,7 +728,7 @@ def leg_parity(state_path, n_frames, clip=None):
         "parity_clip_frames": clip,
         "parity_clips": n_clips,
         "parity_frames": n_frames,
-        "parity_segment_frames": PARITY_SEGMENT,
+        "parity_segment_frames": segment,
         # The sequential chain is latency-bound (r3 measured the per-frame
         # chain rate width-independent at small widths), so when this leg
         # runs at fewer clips than the headline ik's 40 the as-measured
@@ -781,7 +800,9 @@ LEG_FNS = {
 def run_leg(name, args):
     """Leg entry (subprocess side): run it, print the prefixed JSON line."""
     if name == "parity":
-        out = leg_parity(args.state, args.frames, clip=args.clip)
+        out = leg_parity(
+            args.state, args.frames, clip=args.clip, segment=args.segment
+        )
     elif name in LEG_FNS:
         out = LEG_FNS[name](args.state)
     else:
@@ -919,6 +940,7 @@ def main() -> int:
     parser.add_argument("--state", default=None)
     parser.add_argument("--frames", type=int, default=N_PARITY)
     parser.add_argument("--clip", type=int, default=None)
+    parser.add_argument("--segment", type=int, default=None)
     parser.add_argument("--scaling", action="store_true",
                         help="run the weak-scaling harness instead")
     args = parser.parse_args()
@@ -955,9 +977,9 @@ def main() -> int:
         slot = min(orch.remaining() - 20.0, LEG_BUDGET_S["parity"])
         if bad_window:
             slot = min(slot, 700.0)  # don't sink the run into one leg
-        if slot > 1300:
+        if slot > 1700:
             clip = PARITY_CLIP
-        elif slot > 700:
+        elif slot > 900:
             clip = min(PARITY_CLIP, 100)
         else:
             clip = min(PARITY_CLIP, 50)
@@ -968,20 +990,26 @@ def main() -> int:
         )
         orch.emit()
         if out is None and orch.notes.get("parity", "").startswith("rc="):
-            # Worker crash (not a timeout): retry once at a shorter clip —
-            # less continuous dispatch exposure — within what remains.
+            # Worker crash (not a timeout): retry once with shorter
+            # per-dispatch programs (the r5-measured crash trigger) and a
+            # shorter clip — less total dispatch exposure — within what
+            # remains. Both knobs are measurement-neutral (segmentation is
+            # bitwise-identical; the chain rate is width/clip-recorded).
             crash = orch.notes["parity"]
             slot2 = min(orch.remaining() - 20.0, LEG_BUDGET_S["parity"])
             clip2 = min(clip, 100)
+            seg2 = max(2, PARITY_SEGMENT // 2)
             if slot2 >= LEG_MIN_S["parity"]:
                 orch.spawn(
                     "parity",
-                    extra=("--frames", str(N_PARITY), "--clip", str(clip2)),
+                    extra=("--frames", str(N_PARITY), "--clip", str(clip2),
+                           "--segment", str(seg2)),
                     budget=slot2,
                 )
                 orch.notes["parity"] = (
                     f"{orch.notes['parity']} "
-                    f"(retried at clip={clip2} after crash: {crash[:120]})"
+                    f"(retried at clip={clip2} segment={seg2} after crash: "
+                    f"{crash[:120]})"
                 )
                 orch.emit()
 
