@@ -167,8 +167,9 @@ def _setup(extra_overrides=()):
         "stac.fk_impl=jump",
         "stac.ik_return_full=false",
         # Hierarchical ik (multigrid-in-time): measured on this workload to
-        # DOMINATE the flat schedule — 80.6k f/s @ 2.024 mm vs 63.8k @
-        # 2.040 mm device-only (the recording is continuous mocap, the
+        # DOMINATE the flat schedule — r5: 80.3k f/s @ 2.0307 mm vs flat
+        # 60.8k @ 2.0403 mm device-only (fine=8 trades to 95.3k @
+        # 2.0437 — see config.py; the recording is continuous mocap, the
         # regime the seed interpolation assumes; the package default stays
         # flat). The ik_variants leg reports the flat comparison.
         "stac.ik_hier_stride=25",

@@ -114,13 +114,20 @@ class StacConfig:
     gn_iters: int = 0
     # Hierarchical (multigrid-in-time) lockstep ik: cold-solve every
     # ik_hier_stride-th frame at the full budget, interpolate seeds
-    # (quaternion-aware nlerp) for all frames, refine warm in
+    # (quaternion-aware nlerp, including the root translation — kept, not
+    # overwritten by the raw root keypoint; measured better exactly where
+    # seeds matter, see below) for all frames, refine warm in
     # ik_hier_fine_iters (0 = auto). Per-frame iteration cost drops from
     # gn_iters to ~gn_iters/stride + fine_iters; mocap's slow inter-frame
     # motion makes the seeds near-optimal. NOT bitwise-identical to the
     # flat schedule (different warm starts) — quality is measured per
     # workload; 0/1 disables (the default: flat schedule). gn-lm
-    # lockstep ik only.
+    # lockstep ik only. Measured r5 (v5e, 10k-frame rodent, fitted
+    # offsets, device-only; flat = 60.8k f/s @ 2.0403 mm): stride 25 /
+    # fine 10 -> 80.3k @ 2.0307 (strictly dominates flat); stride 25 /
+    # fine 8 -> 95.3k @ 2.0437 (+57% over flat at +3 um residual —
+    # the interp-kept root seed bought fine 8 its quality: with the old
+    # kp re-seed it measured 2.0662).
     ik_hier_stride: int = 0
     ik_hier_fine_iters: int = 0
     # Lockstep fit: >0 makes pose passes after the first warm-start every
