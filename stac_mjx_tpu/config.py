@@ -131,13 +131,17 @@ class StacConfig:
     ik_hier_stride: int = 0
     ik_hier_fine_iters: int = 0
     # Lockstep fit: >0 makes pose passes after the first warm-start every
-    # frame from its own previous-pass solution and run this shorter
-    # budget. MEASURED NOT TO PAY at the reference's 250-frame fit shape
-    # (the fit is pass-overhead-bound there, not iteration-bound: -4%
-    # e2e at 10 warm iters, final error 1.250 vs 1.244 mm; 6 iters is
-    # +10% fps but 1.307 mm), so 0 (off — full budget from the scalar
-    # pose carry, the previous behavior) is the default. Revisit for
-    # 10k+-frame fits where per-iteration device time dominates.
+    # frame from its own previous-pass solution (joints + quats; the root
+    # translation still re-anchors on the raw root keypoint — the m-phase
+    # moves the offsets between passes, so the solved translation is
+    # stale: keeping it measured 1.695 vs 1.250 mm, see
+    # pipeline.pose_optimization) and run this shorter budget. Measured
+    # r5 (v5e rodent, final fit error): 250 frames — warm 10 is a wash
+    # (4 840 f/s @ 1.2500 mm vs 4 836 @ 1.2518 off); 1000 frames —
+    # warm 10 strictly dominates (9 155 @ 1.5824 vs 7 611 @ 1.5851,
+    # +20% fps at equal error; warm 8 is +39% fps but +0.04 mm). Default
+    # 0 (off) keeps the reference-shaped 250-frame fit exactly at its
+    # full-budget schedule; opt in (10) for >=1000-frame fits.
     # Sequential (parity) fit untouched.
     fit_warm_iters: int = 0
     mesh_axis: Optional[int] = None  # clip-shard device count; None = all

@@ -246,12 +246,15 @@ def pose_optimization(
     TPU throughput path.
 
     root_reseed (lockstep only): overwrite each frame's warm-start root
-    translation with that frame's raw root-keypoint xyz. Right when the
-    warm start's translation is stale (a clip-level root solve broadcast
-    to every frame); wrong when the warm start already carries a SOLVED
-    per-frame translation — the hierarchical fine pass's interpolated
-    seeds and the fit warm passes set it False so those seeds survive
-    (ADVICE r4).
+    translation with that frame's raw root-keypoint xyz. Measured r5
+    (v5e rodent): the right choice depends on whether the offsets the
+    warm start was solved against are still current. The hierarchical
+    ik fine pass runs at FIXED offsets, so its nlerp-interpolated
+    translation is informative and keeping it wins (False there:
+    fine=8 residual 2.0437 vs 2.0662 mm re-seeded). The fit warm passes
+    run after an m-phase moved the offsets, so the previous pass's
+    translation is stale and the raw keypoint anchor wins (True there:
+    final fit error 1.250 vs 1.695 mm kept, and faster).
 
     Returns (q_final_carry, qposes (F,nq), xposes, xquats, marker_sites,
     errors (F,)). ``errors`` is the per-frame mean marker Euclidean
@@ -447,12 +450,12 @@ def fit_offsets_program(
     for _ in range(cfg.n_iters):
         q_init = q_warm if (lockstep and q_warm is not None) else q
         mi = warm_iters if q_warm is not None else None
+        # root_reseed stays True for warm passes: the m-phase just moved
+        # the offsets, so last pass's solved translation is stale — the
+        # raw keypoint anchor measured strictly better (pose_optimization
+        # docstring, r5).
         q, qposes, _, _, _, errors = pose_optimization(
-            core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi,
-            # A full per-frame warm start already carries last pass's
-            # SOLVED root translation; don't overwrite it with raw
-            # keypoint xyz (ADVICE r4).
-            root_reseed=q_warm is None,
+            core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi
         )
         q_warm = qposes if (lockstep and warm_iters is not None) else None
         params, offsets, m_err = offset_optimization(
@@ -463,8 +466,7 @@ def fit_offsets_program(
     q_init = q_warm if (lockstep and q_warm is not None) else q
     mi = warm_iters if q_warm is not None else None
     q, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
-        core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi,
-        root_reseed=q_warm is None,
+        core, cfg, params, kp_data, q_init, lb, ub, maxiter=mi
     )
 
     out = {
@@ -539,8 +541,7 @@ def fit_offsets_sharded(
             q_init = q_warm if q_warm is not None else q
             mi = warm_iters if q_warm is not None else None
             q, qposes, _, _, _, errors = pose_optimization(
-                core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi,
-                root_reseed=q_warm is None,
+                core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi
             )
             q_warm = qposes if warm_iters is not None else None
             params, offsets, m_err = offset_optimization(
@@ -559,8 +560,7 @@ def fit_offsets_sharded(
         q_init = q_warm if q_warm is not None else q
         mi = warm_iters if q_warm is not None else None
         q, qposes, xposes, xquats, marker_sites, errors = pose_optimization(
-            core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi,
-            root_reseed=q_warm is None,
+            core, cfg, params, kp_local, q_init, lb, ub, maxiter=mi
         )
         iter_frame = (
             jnp.stack([fe for fe, _ in iter_errors])
