@@ -166,14 +166,15 @@ def _setup(extra_overrides=()):
         "stac.skip_part_opt=true",
         "stac.fk_impl=jump",
         "stac.ik_return_full=false",
-        # Hierarchical ik (multigrid-in-time): measured on this workload to
-        # DOMINATE the flat schedule — r5: 80.3k f/s @ 2.0307 mm vs flat
-        # 60.8k @ 2.0403 mm device-only (fine=8 trades to 95.3k @
-        # 2.0437 — see config.py; the recording is continuous mocap, the
-        # regime the seed interpolation assumes; the package default stays
-        # flat). The ik_variants leg reports the flat comparison.
-        "stac.ik_hier_stride=25",
-        "stac.ik_hier_fine_iters=10",
+        # Hierarchical ik (multigrid-in-time): stride 8 / fine 6 is the
+        # r5-swept Pareto point — 106.3k f/s @ 2.0211 mm device-only,
+        # strictly dominating the flat schedule (64.3k @ 2.0403) AND every
+        # other swept schedule on residual (full sweep in config.py; the
+        # recording is continuous mocap, the regime the seed interpolation
+        # assumes; the package default stays flat). The ik_variants leg
+        # reports the flat comparison.
+        "stac.ik_hier_stride=8",
+        "stac.ik_hier_fine_iters=6",
     ] + list(extra_overrides)
     cfg = compose_config(f"{REPO}/configs", overrides=throughput_overrides)
     data_file = resolve_asset(
@@ -361,8 +362,8 @@ def leg_ik(state_path):
         "ik_device_only_fps": round(ik_dev_fps, 2),
         "e2e_over_device": round(ik_e2e_fps / ik_dev_fps, 3),
         "mean_marker_resid_m": round(resid, 6),
-        "ik_schedule": "hierarchical stride=25 fine=10 (measured-best; "
-                       "package default is flat — see config.py)",
+        "ik_schedule": "hierarchical stride=8 fine=6 (r5 sweep Pareto "
+                       "point; package default is flat — see config.py)",
         "ik_frames": N_IK,
         "ik_clips": N_IK // CLIP,
         "offsets_from_fit": fitted,

@@ -122,12 +122,19 @@ class StacConfig:
     # motion makes the seeds near-optimal. NOT bitwise-identical to the
     # flat schedule (different warm starts) — quality is measured per
     # workload; 0/1 disables (the default: flat schedule). gn-lm
-    # lockstep ik only. Measured r5 (v5e, 10k-frame rodent, fitted
-    # offsets, device-only; flat = 60.8k f/s @ 2.0403 mm): stride 25 /
-    # fine 10 -> 80.3k @ 2.0307 (strictly dominates flat); stride 25 /
-    # fine 8 -> 95.3k @ 2.0437 (+57% over flat at +3 um residual —
-    # the interp-kept root seed bought fine 8 its quality: with the old
-    # kp re-seed it measured 2.0662).
+    # lockstep ik only. Swept r5 (v5e, 10k-frame rodent, fitted offsets,
+    # device-only, k-fps @ mm; flat = 64.3 @ 2.0403):
+    #   stride:   8       12      16      25      50
+    #   fine 5:  117.6@2.0270  123.3@2.0465   -       -       -
+    #   fine 6:  106.3@2.0211  107.4@2.0357  114.7@2.0476  110.2@2.0722  113.8@2.1214
+    #   fine 8:     -          89.9@2.0272   94.2@2.0359   90.9@2.0437   93.7@2.0610
+    #   fine 10:    -             -             -          80.3@2.0307      -
+    # Short strides give better seeds (shorter interpolation spans), so
+    # LESS fine work reaches BETTER residuals: stride 8 / fine 6 (the
+    # bench config) strictly dominates flat and every other swept point
+    # on residual; stride 12 / fine 5 is the max-throughput point. The
+    # interp-kept root-translation seed bought the short-fine regime its
+    # quality (kp re-seed at 25/8 measured 2.0662).
     ik_hier_stride: int = 0
     ik_hier_fine_iters: int = 0
     # Lockstep fit: >0 makes pose passes after the first warm-start every
